@@ -1,0 +1,43 @@
+"""Table catalog: load the driver parquet fixtures as DataFrames.
+
+Schemas per FIXTURES.md. One normalization happens at load time:
+``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark cannot
+represent; we read it as long (``nanosAsLong``) and truncate to
+microseconds — exactly what DuckDB does when it reads the same file —
+yielding a ``timestamp_ntz`` column that hash-matches the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_runtime_confs
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table; normalize event-time to timestamp_ntz."""
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns-epoch long -> µs truncation (integer div: exact, no double
+        # roundtrip — ns epochs exceed 2^53) -> naive timestamp.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for spark.sql queries)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,7 @@
+"""Declared operator inventory (SURVEY.md §2B).
+
+Importing this package imports every query module, which registers
+each query + oracle with :mod:`sparkit_learn_spark.registry`.
+"""
+
+from . import aggregations  # noqa: F401

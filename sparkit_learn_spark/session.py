@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-oriented defaults.
+
+AQE on (runtime coalesce / skew-join split / broadcast demotion),
+Arrow on (every Python crossing is batched), UTC session timezone
+(timestamp hash-parity with the DuckDB oracle), and
+``nanosAsLong`` so the ns-precision events.parquet is readable
+(Spark has no ns timestamp type; see catalog.load_table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Session-creation defaults. Keyed so tests / bench can override.
+DEFAULT_CONFS: dict[str, str] = {
+    # --- runtime re-optimization: essential at 100 TB ---
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # --- shuffle sizing: 32 for local[32]; a real cluster would use
+    #     ~2-3x total cores (AQE coalesces the excess) ---
+    "spark.sql.shuffle.partitions": "32",
+    # --- determinism / oracle parity ---
+    "spark.sql.session.timeZone": "UTC",
+    # --- Arrow: the blocked-RDD boundary of the reference, done right ---
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # --- source capability: events.parquet is TIMESTAMP(NANOS) ---
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # --- scan efficiency ---
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "128m",
+}
+
+#: Confs that are safe (and necessary) to (re)apply on an existing,
+#: externally-created session — e.g. the driver's own SparkSession.
+#: All of these are runtime-settable SQLConf entries.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def get_session(app_name: str = "sparkit-learn-spark",
+                master: str | None = None,
+                extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or get) a SparkSession with engine defaults applied."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.master(master).appName(app_name)
+    confs = dict(DEFAULT_CONFS)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Defensively apply runtime confs to a session we didn't create."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # static conf on this build — leave as-is
+            pass

@@ -1,0 +1,101 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+The driver compares, per query: row count, schema, and an
+order-insensitive value hash with columns sorted by name. This module
+reproduces that check locally (pytest + pre-commit) so t2 never
+surprises us: both results are normalized to sorted-column,
+sorted-row string matrices and compared cell-for-cell.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from .catalog import TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with every fixture table registered as a view
+    (mirrors the driver's pre-registered views)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _cell(v: Any) -> str:
+    """Engine-neutral string form of one value."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        return f"{v:.6f}"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return "NULL"
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def normalize(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
+    """Sorted-column, sorted-row string matrix (the hash input shape)."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            pdf[c] = s.round(6)
+    rows = [tuple(_cell(v) for v in row) for row in pdf.itertuples(index=False)]
+    rows.sort()
+    return rows
+
+
+class OracleMismatch(AssertionError):
+    pass
+
+
+def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = "") -> None:
+    """Raise OracleMismatch with a useful diff if the two differ."""
+    s_cols = sorted(c.lower() for c in spark_pdf.columns)
+    d_cols = sorted(c.lower() for c in duck_pdf.columns)
+    if s_cols != d_cols:
+        raise OracleMismatch(f"{name}: column mismatch spark={s_cols} duck={d_cols}")
+    if len(spark_pdf) != len(duck_pdf):
+        raise OracleMismatch(
+            f"{name}: row count mismatch spark={len(spark_pdf)} duck={len(duck_pdf)}"
+        )
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if ra != rb:
+            raise OracleMismatch(
+                f"{name}: first differing (sorted) row {i}:\n  spark={ra}\n  duck ={rb}"
+            )
+
+
+def check_query(spark, con, name: str, sf_dir: str) -> int:
+    """Run one registered query against its oracle; return row count."""
+    from .registry import all_oracles, all_queries
+
+    q = all_queries()[name]
+    sql = all_oracles().get(name)
+    sdf = q(spark, sf_dir).toPandas()
+    if sql is None:
+        return len(sdf)  # rows-only operator: caller asserts separately
+    ddf = con.sql(sql).df()
+    compare_frames(sdf, ddf, name=name)
+    return len(sdf)

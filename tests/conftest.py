@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkit_learn_spark.session import get_session  # noqa: E402
+from sparkit_learn_spark.testing import duck_connect  # noqa: E402
+
+SF_UNIT = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session("sparkit-tests", master="local[8]",
+                    extra_confs={"spark.ui.enabled": "false",
+                                 "spark.sql.shuffle.partitions": "8"})
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_UNIT
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
