@@ -1,0 +1,132 @@
+"""Projection / filter / predicate operators (q_proj_*, q_filter_*).
+
+All whole-stage-codegen'd single-pass scans — zero shuffles; filters
+reach the parquet reader via Catalyst pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "q_proj_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+    FROM lineitem
+    """,
+)
+def q_proj_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic projection (revenue expression)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(rev, 6).alias("revenue"),
+        F.round(rev * (1 + F.col("l_tax")), 6).alias("charge"),
+    )
+
+
+@register(
+    "q_filter_and_or",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_discount, l_tax
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND (l_discount > 0.05 OR l_tax < 0.02)
+    """,
+)
+def q_filter_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound boolean predicate (AND over OR)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & ((F.col("l_discount") > 0.05) | (F.col("l_tax") < 0.02))
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_discount", "l_tax")
+
+
+@register(
+    "q_filter_in_between",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')
+    """,
+)
+def q_filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN range + IN-list membership predicates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20) & F.col("l_returnflag").isin("A", "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@register(
+    "q_filter_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type
+    FROM part
+    WHERE p_type LIKE 'PROMO%' AND p_brand LIKE 'Brand#1%' AND p_name LIKE '%a%'
+    """,
+)
+def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE prefix / infix pattern predicates (pushed as StringStartsWith
+    / StringContains to the parquet scan)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("PROMO%")
+        & F.col("p_brand").like("Brand#1%")
+        & F.col("p_name").like("%a%")
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+@register(
+    "q_filter_null",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(o.o_orderstatus, 'NO_ORDER') AS status
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey IS NULL
+    """,
+)
+def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-surfacing predicate on outer-join output (IS NULL after a
+    left join ≡ anti-join; Catalyst may rewrite it to one)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return joined.filter(F.col("o_orderkey").isNull()).select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("o_orderstatus"), F.lit("NO_ORDER")).alias("status"),
+    )
+
+
+@register(
+    "q_proj_case",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS tier
+    FROM orders
+    """,
+)
+def q_proj_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN tiering."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )

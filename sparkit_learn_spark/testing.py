@@ -9,6 +9,7 @@ sorted-row string matrices and compared cell-for-cell.
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 from typing import Any
 
@@ -42,10 +43,12 @@ def _cell(v: Any) -> str:
         return f"{v:.6f}"
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_cell(x) for x in v) + "]"
-    if isinstance(v, pd.Timestamp):
-        if v is pd.NaT:
-            return "NULL"
+    if v is pd.NaT:
+        return "NULL"
+    if isinstance(v, _dt.datetime):  # covers pd.Timestamp
         return v.isoformat()
+    if isinstance(v, _dt.date):  # plain date -> midnight timestamp form
+        return v.isoformat() + "T00:00:00"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
