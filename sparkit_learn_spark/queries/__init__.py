@@ -5,6 +5,7 @@ each query + oracle with :mod:`sparkit_learn_spark.registry`.
 """
 
 from . import aggregations  # noqa: F401
+from . import joins  # noqa: F401
 from . import projections  # noqa: F401
 from . import scalar_funcs  # noqa: F401
 from . import scans  # noqa: F401

@@ -64,3 +64,167 @@ def q_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) — Spark expands to a two-stage aggregate
+    (distinct on (group, key) then count); still one logical pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+
+
+@register(
+    "q_agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           ROUND(SUM(l_quantity), 6)                 AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several DISTINCT aggregates + a plain aggregate in one query
+    (Spark plans an Expand — one branch per distinct key set)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.sum("l_quantity"), _R6).alias("sum_qty"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT)      AS n_customers,
+           ROUND(SUM(c.c_acctbal), 6)    AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (region -> nation -> grand total); subtotal
+    rows carry NULL group keys in both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), _R6).alias("sum_bal"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT)  AS n_rows,
+           ROUND(SUM(l_quantity), 6) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims (all 4 grouping-set combos)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), _R6).alias("sum_qty"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, ROUND(SUM(l_extendedprice), 6) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (Expand-based plan)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 6) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register("q_agg_approx_cd")  # rows-only: HLL sketches differ across engines
+def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). No DuckDB oracle — HLL
+    estimates are engine-specific; pytest bounds the relative error
+    against the exact count instead (tests/test_approx.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(AVG(o_totalprice), 6)         AS avg_price,
+           ROUND(MIN(o_totalprice), 6)         AS min_price,
+           ROUND(MAX(o_totalprice), 6)         AS max_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS std_price,
+           ROUND(VAR_SAMP(o_totalprice) / 1e6, 4) AS var_price_m
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. var is scaled to millions before
+    rounding: var magnitude ~1e9 and engines use different
+    single-pass/merge formulas, so absolute 6dp rounding would expose
+    last-bit noise."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.avg("o_totalprice"), _R6).alias("avg_price"),
+        F.round(F.min("o_totalprice"), _R6).alias("min_price"),
+        F.round(F.max("o_totalprice"), _R6).alias("max_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+        F.round(F.var_samp("o_totalprice") / 1e6, 4).alias("var_price_m"),
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT l_partkey, ROUND(SUM(l_quantity), 6) AS sum_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(l_quantity) > 400
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING filter (filter on the unrounded sum,
+    project the rounded one — matching the SQL semantics exactly)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("_raw_sum"))
+        .filter(F.col("_raw_sum") > 400)
+        .select("l_partkey", F.round("_raw_sum", _R6).alias("sum_qty"))
+    )
