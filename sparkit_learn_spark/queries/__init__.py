@@ -9,3 +9,5 @@ from . import joins  # noqa: F401
 from . import projections  # noqa: F401
 from . import scalar_funcs  # noqa: F401
 from . import scans  # noqa: F401
+from . import sorts_setops  # noqa: F401
+from . import windows  # noqa: F401

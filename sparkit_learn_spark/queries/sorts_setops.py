@@ -1,0 +1,163 @@
+"""Sort / limit / top-k and set operators (q_sort_*, q_topk,
+q_limit_offset, q_set_*).
+
+Global sorts use Spark's range-partitioned sort (sampled boundaries —
+scales linearly); top-k compiles to TakeOrderedAndProject (per
+-partition heap + driver merge of k, never a full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "q_sort_multi",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           CAST(row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey ASC)
+                AS BIGINT) AS pos
+    FROM orders
+    WHERE o_totalprice > 350000
+    """,
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort (date desc, key asc). The hash check is
+    order-insensitive, so the sort position is materialized as a
+    column to pin the semantics. Note: a global row_number is
+    inherently a single-reducer step — the filter first shrinks the
+    input so the window sees only the selected rows."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    w = Window.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "pos")
+    )
+
+
+@register(
+    "q_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue
+    FROM lineitem
+    ORDER BY l_extendedprice * (1 - l_discount) DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 revenue lineitems: orderBy().limit() compiles to
+    TakeOrderedAndProject — each partition keeps a 20-row heap, the
+    driver merges heaps; no global sort, no full shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.orderBy(rev.desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", F.round(rev, 6).alias("revenue"))
+    )
+
+
+@register(
+    "q_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset+limit page over a deterministic order."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_set_union_all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def q_set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-preserving union (no shuffle — partitions concatenate)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return (
+        o.filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey", "o_totalprice")
+        .unionByName(
+            o.filter(F.col("o_orderstatus") == "P").select("o_orderkey", "o_totalprice")
+        )
+    )
+
+
+@register(
+    "q_set_union_distinct",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000
+    UNION
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT — union then hash-distinct (one shuffle)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return (
+        o.filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey", "o_totalprice")
+        .union(
+            o.filter(F.col("o_orderstatus") == "P").select("o_orderkey", "o_totalprice")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): custkeys having both open and finished
+    orders. Planned as a left-semi join on all columns."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+@register(
+    "q_set_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers minus buyers (left-anti join plan)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.subtract(o)
