@@ -6,7 +6,9 @@ each query + oracle with :mod:`sparkit_learn_spark.registry`.
 
 from . import aggregations  # noqa: F401
 from . import joins  # noqa: F401
+from . import llm_pipeline  # noqa: F401
 from . import projections  # noqa: F401
+from . import semistructured  # noqa: F401
 from . import scalar_funcs  # noqa: F401
 from . import scans  # noqa: F401
 from . import sorts_setops  # noqa: F401
