@@ -1,0 +1,157 @@
+"""Batch forms of the streaming operators (q_stream_*).
+
+The driver's DuckDB oracle can only check batch semantics; these run
+the shared transforms (streaming/transforms.py) in batch mode. The
+pytest suite re-runs the same transforms through Structured Streaming
+and asserts batch ≡ stream (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ..streaming import transforms as T
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts)                      AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR    AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT)                    AS n_events,
+           ROUND(SUM(value), 6)                        AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts/sums (epoch-aligned, so Spark's
+    window() ≡ date_trunc('hour'))."""
+    return T.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+    WITH offs AS (SELECT unnest(range(0, 4)) AS i),
+    placed AS (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + CAST((CAST(floor(epoch(ts) / 900) AS BIGINT) - o.i) * 900 AS BIGINT)
+                 * INTERVAL 1 SECOND AS window_start
+      FROM events, offs o
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           CAST(COUNT(*) AS BIGINT)       AS n_events
+    FROM placed
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding 15 min. Oracle places each event into
+    its 4 windows explicitly (start = floor(epoch/900)*900 − i·900)."""
+    return T.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts)                        AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE   AS session_end,
+           CAST(COUNT(*) AS BIGINT)       AS n_events,
+           ROUND(SUM(value), 6)           AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap session windows per user. Spark: native
+    session_window (streaming-state capable); oracle: the equivalent
+    gaps-and-islands SQL (lag -> cumsum -> group)."""
+    return T.session_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value
+    FROM (
+      SELECT event_id, user_id, event_type, ts, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, date_trunc('day', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic earliest-per-key dedup (batch twin of streaming
+    dropDuplicates-with-watermark)."""
+    return T.dedup_earliest(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_late",
+    oracle="""
+    WITH horizon AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS h FROM events)
+    SELECT date_trunc('hour', e.ts)  AS window_start,
+           CAST(COUNT(*) AS BIGINT)  AS n_events
+    FROM events e, horizon
+    WHERE e.ts > horizon.h - INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-semantics declaration in batch form: with a 10-min
+    watermark at end-of-stream, only windows newer than
+    max(ts) − 10 min − 1 h are still open/accepting. The true
+    drop-late-rows behavior is asserted in the streaming parity test
+    with an out-of-order replay."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTE")).alias("h")
+    )
+    return (
+        ev.crossJoin(F.broadcast(horizon))
+        .filter(F.col("ts") > F.col("h") - F.expr("INTERVAL 1 HOUR"))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 6)   AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events ⋈ customer dim (broadcast),
+    aggregated per (segment, event_type)."""
+    return T.static_enrich(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )

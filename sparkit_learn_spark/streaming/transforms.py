@@ -1,0 +1,101 @@
+"""Event-stream transformations, batch/stream polymorphic.
+
+Each function takes the events DataFrame (batch or streaming — the
+DataFrame API is identical) and returns the transformed frame.
+Watermarks are applied by the streaming caller before these run;
+in batch mode Spark ignores watermark semantics, so batch output is
+the complete (no-late-drop) answer — exactly what DuckDB computes.
+
+Streaming state notes (100 TB): all aggregations key on
+(window/session, type/user) — state per key is O(1) counters; the
+watermark bounds state retention. Dedup state is the seen-key set,
+bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows: count + value sum per event_type."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 min (each event in 4 windows)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_counts(events: DataFrame) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap.
+
+    Streaming: native session_window state merge. (The batch DuckDB
+    oracle expresses the same thing as gaps-and-islands: lag + cumsum.)
+    """
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_earliest(events: DataFrame) -> DataFrame:
+    """Deterministic dedup: earliest event per (user_id, event_type,
+    day). Batch form uses a row_number window (deterministic pick —
+    unlike raw dropDuplicates); streaming uses dropDuplicates with a
+    watermark, asserted equivalent in the parity test."""
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    w = Window.partitionBy("user_id", "event_type", day).orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming-native stateful dedup on the event key (state bounded
+    by the caller's watermark)."""
+    return events.dropDuplicates(["event_id"])
+
+
+def static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich events with the customer dimension,
+    then aggregate per (segment, type). The static side is broadcast —
+    the stream never shuffles."""
+    joined = events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "inner"
+    )
+    return (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+    )
