@@ -7,6 +7,9 @@ each query + oracle with :mod:`sparkit_learn_spark.registry`.
 from . import aggregations  # noqa: F401
 from . import joins  # noqa: F401
 from . import llm_pipeline  # noqa: F401
+from . import ml_mllib  # noqa: F401
+from . import ml_stats  # noqa: F401
+from . import ml_text  # noqa: F401
 from . import projections  # noqa: F401
 from . import semistructured  # noqa: F401
 from . import scalar_funcs  # noqa: F401
