@@ -9,11 +9,11 @@ top-k exists as the correctness baseline for the LSH variants
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import normalized_text, shingles, tokens
+from ..functions.text import shingles, tokens
 from ..functions.vector import dot
 from ..registry import register
 
@@ -35,13 +35,9 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash. One shuffle on the 32-byte digest (never on the text itself
     — at 100 TB you shuffle hashes, not documents). Spark sha2 and
     DuckDB sha256 both emit lowercase hex."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.sha2(normalized_text("text"), 256).alias("text_sha"))
-        .groupBy("text_sha")
-        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
-        .select("doc_id", "text_sha", "n_copies")
-    )
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -92,18 +88,9 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, LSH-bucketed candidates. Similarity is rounded BEFORE
     ranking (with nid tiebreak) so ranking is deterministic across
     engines at float boundaries."""
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("qid") != F.col("nid"))
-    sim = F.round(dot("va", "vb"), 6)
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "nid")
-    return (
-        pairs.withColumn("sim", sim)
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "nid", "sim", "rn")
-    )
+    from ..operators.similarity import cosine_topk
+
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
 @register(

@@ -19,8 +19,7 @@ from pyspark.ml import Pipeline
 from pyspark.ml.classification import LinearSVC, LogisticRegression
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.evaluation import BinaryClassificationEvaluator
-from pyspark.ml.feature import IDF, HashingTF, MinHashLSH, Tokenizer
-from pyspark.ml.feature import BucketedRandomProjectionLSH
+from pyspark.ml.feature import IDF, HashingTF, Tokenizer
 from pyspark.ml.functions import array_to_vector
 from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -208,27 +207,10 @@ def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the O(n²) comparison collapses to per-bucket joins —
     the standard shingle→minhash→band→bucket-join pipeline. Recall vs
     exact Jaccard is asserted on crafted near-dups in tests/test_ml.py."""
-    from ..functions.text import shingles, tokens
+    from ..operators.dedup import minhash_candidate_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", tokens("text").alias("toks"))
-        .filter(F.size("toks") >= 5)
-        .select("doc_id", F.array_distinct(shingles(F.col("toks"), 5)).alias("sh"))
-    )
-    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
-    feat = tf.transform(sh)
-    mh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=5, seed=SEED)
-    model = mh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 0.6, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
-        )
-    )
+    return minhash_candidate_pairs(d, seed=SEED)
 
 
 @register("q_llm_ann_lsh")  # rows-only: recall checked in pytest
@@ -237,15 +219,10 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit vectors d² = 2−2cos, so radius 1.0 ≡ cosine ≥ 0.5): the scale
     path for q_llm_cosine_topk — candidates come from hash buckets,
     not the full cross product. Output: neighbor counts per vector."""
-    vec = _vectors(spark, sf_dir).select("vec_id", "features")
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="buckets",
-        bucketLength=0.5, numHashTables=4, seed=SEED,
-    )
-    model = lsh.fit(vec)
-    pairs = model.approxSimilarityJoin(vec, vec, 1.0, distCol="dist")
-    return (
-        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
-        .groupBy(F.col("datasetA.vec_id").alias("vec_id"))
-        .agg(F.count("*").alias("n_neighbors"))
+    from ..operators.similarity import ann_lsh_neighbors
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = ann_lsh_neighbors(e, radius=1.0, seed=SEED)
+    return pairs.groupBy(F.col("vec_id_a").alias("vec_id")).agg(
+        F.count("*").alias("n_neighbors")
     )

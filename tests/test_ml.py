@@ -1,0 +1,238 @@
+"""sklearn/numpy local-oracle equivalence tests — the reference's own
+test strategy (SURVEY §5.1: fit both on the same data, assert
+almost-equal), applied to our ML operators at sf0.001.
+
+sklearn is optional in the container; every sklearn comparison is
+gated behind an import-try and falls back to a numpy reimplementation
+of the sklearn formula (which is exact for these estimators).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkit_learn_spark.registry import all_queries
+
+try:
+    import sklearn  # noqa: F401
+
+    HAVE_SKLEARN = True
+except ImportError:
+    HAVE_SKLEARN = False
+
+Q = all_queries()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(duck):
+    return duck.sql("SELECT doc_id, text FROM documents ORDER BY doc_id").df()
+
+
+@pytest.fixture(scope="module")
+def emb_pdf(duck):
+    pdf = duck.sql("SELECT vec_id, embedding, label FROM embeddings ORDER BY vec_id").df()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    return pdf, X
+
+
+def test_tfidf_matches_sklearn_formula(spark, sf_dir, docs_pdf):
+    """tfidf = tf * (ln((1+N)/(1+df)) + 1) — sklearn smooth_idf,
+    norm=None. Recompute locally from raw text and compare all cells."""
+    got = Q["q_ml_tfidf"](spark, sf_dir).toPandas()
+    n_docs = len(docs_pdf)
+    tf: dict[tuple[int, str], int] = {}
+    df: dict[str, set] = {}
+    for _, row in docs_pdf.iterrows():
+        for t in row["text"].split(" "):
+            tf[(row["doc_id"], t)] = tf.get((row["doc_id"], t), 0) + 1
+            df.setdefault(t, set()).add(row["doc_id"])
+    assert len(got) == len(tf)
+    for _, r in got.sample(min(500, len(got)), random_state=0).iterrows():
+        expect = tf[(r["doc_id"], r["term"])] * (
+            math.log((1 + n_docs) / (1 + len(df[r["term"]]))) + 1
+        )
+        assert abs(r["tfidf"] - round(expect, 6)) < 1e-6
+
+
+@pytest.mark.skipif(not HAVE_SKLEARN, reason="sklearn not installed")
+def test_tfidf_matches_sklearn_transformer(spark, sf_dir, docs_pdf):
+    from sklearn.feature_extraction.text import CountVectorizer, TfidfTransformer
+
+    cv = CountVectorizer(analyzer=lambda s: s.split(" "))
+    counts = cv.fit_transform(docs_pdf["text"])
+    tfidf = TfidfTransformer(norm=None, smooth_idf=True).fit_transform(counts)
+    vocab = cv.vocabulary_
+    got = Q["q_ml_tfidf"](spark, sf_dir).toPandas()
+    doc_pos = {d: i for i, d in enumerate(docs_pdf["doc_id"])}
+    for _, r in got.sample(min(300, len(got)), random_state=1).iterrows():
+        expect = tfidf[doc_pos[r["doc_id"]], vocab[r["term"]]]
+        assert abs(r["tfidf"] - expect) < 1e-5
+
+
+def test_multinomial_nb_matches_formula(spark, sf_dir, duck):
+    """log_prob(label, term) = ln((c+1)/(total+V)) — MultinomialNB
+    feature_log_prob_ with alpha=1."""
+    got = Q["q_ml_multinomial_nb"](spark, sf_dir).toPandas()
+    base = duck.sql(
+        """
+        SELECT e.label AS label, unnest(string_split(d.text,' ')) AS term
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        """
+    ).df()
+    V = base["term"].nunique()
+    counts = base.groupby(["label", "term"]).size()
+    totals = base.groupby("label").size()
+    for _, r in got.sample(min(300, len(got)), random_state=2).iterrows():
+        expect = math.log(
+            (counts[(r["label"], r["term"])] + 1) / (totals[r["label"]] + V)
+        )
+        assert abs(r["log_prob"] - round(expect, 6)) < 1e-6
+
+
+def test_gaussian_nb_stats_match_numpy(spark, sf_dir, emb_pdf):
+    pdf, X = emb_pdf
+    got = Q["q_ml_gaussian_nb_stats"](spark, sf_dir).toPandas()
+    labels = pdf["label"].to_numpy()
+    for lbl in np.unique(labels):
+        sub = X[labels == lbl]
+        g = got[got["label"] == lbl].sort_values("dim")
+        np.testing.assert_allclose(g["mean_val"], np.round(sub.mean(axis=0), 6), atol=1e-6)
+        np.testing.assert_allclose(g["var_val"], np.round(sub.var(axis=0, ddof=0), 6), atol=1e-6)
+        assert (g["n"] == len(sub)).all()
+
+
+def test_variance_threshold_matches_numpy(spark, sf_dir, emb_pdf):
+    _, X = emb_pdf
+    got = Q["q_ml_variance_threshold"](spark, sf_dir).toPandas()
+    var = X.var(axis=0, ddof=1)
+    expect_dims = set(np.where(var > 0.015)[0])
+    assert set(got["dim"]) == expect_dims
+
+
+def test_linreg_1d_matches_numpy(spark, sf_dir, duck):
+    got = Q["q_ml_linreg_1d"](spark, sf_dir).toPandas().iloc[0]
+    li = duck.sql("SELECT l_quantity x, l_extendedprice y FROM lineitem").df()
+    slope, intercept = np.polyfit(li["x"], li["y"], 1)
+    assert abs(got["slope"] - slope) < 1e-4
+    assert abs(got["intercept"] - intercept) < 1e-2
+
+
+def test_svd_topk_matches_numpy(spark, sf_dir, emb_pdf):
+    _, X = emb_pdf
+    got = Q["q_ml_svd_topk"](spark, sf_dir).toPandas().sort_values("rank")
+    expect = np.linalg.svd(X, compute_uv=False)[:8]
+    np.testing.assert_allclose(got["singular_value"], expect, rtol=1e-3)
+
+
+def test_kmeans_inertia_reasonable(spark, sf_dir, emb_pdf):
+    """Cluster sizes sum to n and no degenerate giant/empty clusters;
+    vs sklearn KMeans inertia when available."""
+    pdf, X = emb_pdf
+    got = Q["q_ml_kmeans"](spark, sf_dir).toPandas()
+    assert got["n"].sum() == len(pdf)
+    assert len(got) == 5
+    if HAVE_SKLEARN:
+        from sklearn.cluster import KMeans as SkKMeans
+
+        sk = SkKMeans(n_clusters=5, n_init=3, random_state=0).fit(X)
+        sizes = np.sort(np.bincount(sk.labels_))[::-1]
+        ours = np.sort(got["n"].to_numpy())[::-1]
+        # same clustering problem — size distributions should be close
+        assert abs(int(ours[0]) - int(sizes[0])) < len(pdf) * 0.3
+
+
+def test_logreg_accuracy(spark, sf_dir, emb_pdf):
+    pdf, X = emb_pdf
+    got = Q["q_ml_logreg"](spark, sf_dir).toPandas()
+    correct = got[got["label"] == got["prediction"]]["n"].sum()
+    acc = correct / got["n"].sum()
+    if HAVE_SKLEARN:
+        from sklearn.linear_model import LogisticRegression as SkLR
+
+        y = (pdf["label"] < 5).astype(int)
+        sk_acc = SkLR(max_iter=200).fit(X, y).score(X, y)
+        assert acc >= sk_acc - 0.05
+    else:
+        assert acc >= 0.5  # must beat the coin at minimum
+
+
+def test_hashing_tf_properties(spark, sf_dir, duck):
+    got = Q["q_ml_hashing_tf"](spark, sf_dir).toPandas()
+    again = Q["q_ml_hashing_tf"](spark, sf_dir).toPandas()
+    # deterministic
+    a = got.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert got["bucket"].between(0, 1023).all()
+    n_tokens = duck.sql(
+        "SELECT COUNT(*) c FROM (SELECT unnest(string_split(text,' ')) FROM documents)"
+    ).fetchone()[0]
+    assert got["tf"].sum() == n_tokens
+
+
+def test_approx_count_distinct_error(spark, sf_dir, duck):
+    got = Q["q_agg_approx_cd"](spark, sf_dir).toPandas().set_index("l_returnflag")
+    exact = duck.sql(
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) c FROM lineitem GROUP BY 1"
+    ).df().set_index("l_returnflag")
+    for flag in exact.index:
+        rel_err = abs(got.loc[flag, "approx_parts"] - exact.loc[flag, "c"]) / exact.loc[flag, "c"]
+        assert rel_err < 0.1
+
+
+def test_minhash_finds_crafted_near_dups(spark):
+    """Ground-truth recall check: 3 near-dup pairs (1-2 token edits in
+    30-token docs) + unrelated docs; MinHash must surface all pairs
+    and no unrelated ones at jaccard_dist ≤ 0.6."""
+    from sparkit_learn_spark.operators.dedup import minhash_candidate_pairs
+
+    base = "spark join filter window batch stream shuffle partition " \
+           "broadcast hash sort merge scan prune push codegen arrow " \
+           "vector column row group page footer stat index bloom dict " \
+           "rle bit pack frame"
+    toks = base.split(" ")
+    near1 = " ".join(toks[:-1] + ["tail"])
+    near2 = " ".join(["head"] + toks[1:])
+    other = " ".join(reversed([t + "x" for t in toks]))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near1), (3, near2), (4, other)],
+        schema="doc_id long, text string",
+    )
+    pairs = minhash_candidate_pairs(docs, max_jaccard_dist=0.6).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 2) in found and (1, 3) in found
+    assert not any(4 in p for p in found)
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    """LSH neighbor pairs at euclidean radius 1.0 (cos ≥ 0.5) must
+    recover ≥80% of the true pairs from the brute-force baseline."""
+    from sparkit_learn_spark.catalog import load_table
+    from sparkit_learn_spark.operators.similarity import ann_lsh_neighbors
+    from sparkit_learn_spark.functions.vector import dot
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    truth = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .withColumn("sim", dot("va", "vb"))
+        .filter(F.col("sim") >= 0.5)
+        .select("ia", "ib")
+        .toPandas()
+    )
+    true_pairs = {tuple(r) for r in truth.itertuples(index=False)}
+    got = ann_lsh_neighbors(e, radius=1.0).toPandas()
+    got_pairs = {
+        tuple(sorted((a_, b_)))
+        for a_, b_ in zip(got["vec_id_a"], got["vec_id_b"])
+    }
+    if not true_pairs:
+        pytest.skip("no true pairs at this threshold in fixture")
+    recall = len(true_pairs & got_pairs) / len(true_pairs)
+    assert recall >= 0.8
