@@ -1,0 +1,43 @@
+"""Parquet source/sink helpers.
+
+The batch sources live in catalog.py (fixture tables); this module
+adds the write path (partitioned sinks) and the Structured-Streaming
+file source over the same events data, including the ns-timestamp
+normalization that catalog.load_table applies in batch mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_runtime_confs
+
+
+def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """Write a DataFrame as parquet. ``partition_by`` produces
+    hive-style directory partitioning — the layout that makes
+    partition pruning work on re-read (at 100 TB, partition by the
+    dominant filter column: date, lang, source...)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file source over events parquet (same schema &
+    ns→µs ts normalization as the batch catalog loader), so
+    batch≡stream parity tests run the same downstream code. The file
+    source needs a directory; pathGlobFilter selects the events file."""
+    ensure_runtime_confs(spark)
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # LTZ (session tz = UTC), not NTZ: watermarks require TIMESTAMP;
+    # wall-clock values are identical to the batch loader's NTZ.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -46,6 +46,8 @@ def _cell(v: Any) -> str:
     if v is pd.NaT:
         return "NULL"
     if isinstance(v, _dt.datetime):  # covers pd.Timestamp
+        if v.tzinfo is not None:  # normalize LTZ -> UTC wall clock
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
     if isinstance(v, _dt.date):  # plain date -> midnight timestamp form
         return v.isoformat() + "T00:00:00"
@@ -60,6 +62,8 @@ def normalize(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
     for c in pdf.columns:
         s = pdf[c]
         if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             pdf[c] = s.astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(s):
             pdf[c] = s.round(6)

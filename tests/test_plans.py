@@ -1,0 +1,57 @@
+"""Plan-shape guardrails (SURVEY §4): the optimizations we rely on at
+100 TB must actually appear in the physical plan at any scale —
+pushdown reaching the parquet scan, dimension joins broadcast, top-k
+as TakeOrderedAndProject, aggregation partial+final, and no Python
+eval in JVM-only queries.
+"""
+
+from __future__ import annotations
+
+from sparkit_learn_spark.plans.inspect import explain_str
+from sparkit_learn_spark.registry import all_queries
+
+Q = all_queries()
+
+
+def test_scan_pruned_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = explain_str(Q["q_scan_pruned"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    # ReadSchema carries only the 4 projected columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_shipdate" in read_schema
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = explain_str(Q["q_join_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = explain_str(Q["q_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_partial_final_agg_no_python(spark, sf_dir):
+    plan = explain_str(Q["q_agg_q1"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filter_like_pushdown(spark, sf_dir):
+    plan = explain_str(Q["q_filter_like"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "StringStartsWith" in pushed
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    assert "LeftSemi" in explain_str(Q["q_join_semi"](spark, sf_dir))
+    assert "LeftAnti" in explain_str(Q["q_join_anti"](spark, sf_dir))
+
+
+def test_whole_stage_codegen_on_flagship(spark, sf_dir):
+    # AQE's formatted plan hides codegen spans pre-execution; the
+    # codegen explain mode lists the compiled subtrees directly.
+    plan = explain_str(Q["q_agg_q1"](spark, sf_dir), mode="codegen")
+    assert "WholeStageCodegen" in plan

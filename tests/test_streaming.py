@@ -1,0 +1,129 @@
+"""Batch ≡ stream parity (SURVEY §5.2 #3): every q_stream_* transform
+re-run through Structured Streaming (file source, availableNow
+trigger, memory sink) must equal its batch result. Plus watermark
+late-row semantics on an out-of-order replay.
+"""
+
+from __future__ import annotations
+
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparkit_learn_spark.catalog import load_table
+from sparkit_learn_spark.sources.parquet_io import read_events_stream
+from sparkit_learn_spark.streaming import transforms as T
+from sparkit_learn_spark.testing import compare_frames
+
+
+def run_stream_to_memory(stream_df, name: str, spark):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.mark.parametrize(
+    "tname, fn, needs_watermark",
+    [
+        ("tumbling", T.tumbling_counts, True),
+        ("sliding", T.sliding_counts, True),
+        ("session", T.session_counts, True),
+    ],
+)
+def test_windowed_parity(spark, events_stream, events_batch, tname, fn, needs_watermark):
+    src = events_stream.withWatermark("ts", "10 minutes") if needs_watermark else events_stream
+    got = run_stream_to_memory(fn(src), f"mem_{tname}", spark).toPandas()
+    expect = fn(events_batch).toPandas()
+    # complete output mode + availableNow replays everything: no late
+    # drops possible on a single ordered file, so results must be equal
+    compare_frames(got, expect, name=f"stream_{tname}")
+
+
+def test_dedup_stream_parity(spark, events_stream, events_batch):
+    src = events_stream.withWatermark("ts", "10 minutes")
+    q = (
+        T.dedup_stream(src)
+        .writeStream.format("memory")
+        .queryName("mem_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM mem_dedup").first()
+    expect = events_batch.select("event_id").distinct().count()
+    assert got["n"] == got["d"] == expect
+
+
+def test_static_join_parity(spark, sf_dir, events_stream, events_batch):
+    customer = load_table(spark, sf_dir, "customer")
+    got = run_stream_to_memory(
+        T.static_enrich(events_stream, customer), "mem_enrich", spark
+    ).toPandas()
+    expect = T.static_enrich(events_batch, customer).toPandas()
+    compare_frames(got, expect, name="stream_static_join")
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Out-of-order replay: batch 1 advances event time to 12:00;
+    batch 2 delivers a row at 10:00 — far older than the 10-minute
+    watermark — plus a fresh row. With update mode + per-file
+    triggers, the stale row must NOT create/modify a closed window."""
+    indir = str(tmp_path / "in")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    raw_schema = "event_id long, ts string, user_id long, value double"
+    rows1 = [(1, "2024-01-01 10:00:00", 1, 1.0), (2, "2024-01-01 12:00:00", 1, 1.0)]
+    rows2 = [(3, "2024-01-01 10:00:01", 1, 1.0), (4, "2024-01-01 12:01:00", 1, 1.0)]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema=raw_schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    mk(rows1).coalesce(1).write.mode("append").parquet(indir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(indir)
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").alias("n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mem_late")
+        .outputMode("update")
+        .start()
+    )
+    # batch 1: watermark advances to 12:00 - 10min = 11:50
+    q.processAllAvailable()
+    # batch 2: event 3 (10:00:01) is now behind the watermark -> dropped
+    mk(rows2).coalesce(1).write.mode("append").parquet(indir)
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT w.start AS s, MAX(n) AS n FROM mem_late GROUP BY 1 ORDER BY 1"
+    ).toPandas()
+    by_hour = {str(r["s"]): r["n"] for _, r in got.iterrows()}
+    # the 10:00 window saw only event 1 before closing; late event 3 dropped
+    assert by_hour.get("2024-01-01 10:00:00") == 1
+    # the 12:00 window accumulated both fresh events
+    assert by_hour.get("2024-01-01 12:00:00") == 2
