@@ -18,9 +18,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sparkit_learn_spark.registry import all_queries
 from sparkit_learn_spark.session import get_session
 
-#: Headline set — extended as operator waves land.
+#: Headline set — one representative per operator family.
 HEADLINE = [
-    "q_agg_q1",
+    "q_agg_q1",          # scan + filter + partial/final agg (flagship)
+    "q_scan_pruned",     # pushdown + column pruning
+    "q_join_shuffle",    # large equi join
+    "q_join_multiway",   # 6-table TPC-H Q5-style chain
+    "q_join_asof",       # union-style as-of join (window)
+    "q_agg_cube",        # grouping-set expansion
+    "q_win_running",     # running-frame window
+    "q_topk",            # TakeOrderedAndProject
+    "q_stream_session",  # session windows (batch mode)
+    "q_udf_pandas",      # Arrow-vectorized Python path
+    "q_ml_tfidf",        # explode + double agg + broadcast join
+    "q_llm_exact_dedup", # sha2 hash dedup
+    "q_llm_cosine_topk", # O(N²) vector math (2k×2k at sf0.1)
+    "q_llm_minhash_dedup",  # MinHash LSH similarity join
 ]
 
 
@@ -32,6 +45,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
+
+    # warmup: JVM/codegen/parquet-footer costs land here, not on q1
+    from sparkit_learn_spark.catalog import load_table
+    load_table(spark, sf_dir, "lineitem").count()
+    load_table(spark, sf_dir, "orders").count()
 
     timings: dict[str, float] = {}
     for name in names:
