@@ -1,0 +1,326 @@
+"""LLM-pipeline wave 2: the remaining dedup family (SimHash, exact
+n-gram Jaccard, embedding-cosine near-dup), text analysis (language
+ID, rolling-hash fingerprint, BPE-ish token counting).
+
+Dedup-family scale map (each attacks O(n²) differently):
+  exact       — hash equality, one shuffle               (wave 1)
+  minhash LSH — probabilistic bucket join                (wave 1)
+  simhash     — 64-bit sketch, band join + Hamming       (this file)
+  ngram       — exact Jaccard, candidates from inverted  (this file)
+                shingle index (pairs sharing ≥1 shingle)
+  embedding   — semantic near-dup at cosine ≥ τ          (this file)
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import shingles, tokens
+from ..functions.vector import dot
+from ..registry import register
+
+
+@register("q_llm_simhash_dedup")  # rows-only: xxhash64 is Spark-specific
+def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit sketch per doc (per-bit
+    tf-weighted majority vote over xxhash64(term)), then candidate
+    pairs from 4×16-bit band buckets with Hamming distance ≤ 8.
+
+    Scale: the sketch is one aggregation (64 conditional sums —
+    JVM-side, codegen'd); banding turns all-pairs into per-bucket
+    joins exactly like MinHash LSH. No DuckDB oracle (xxhash64);
+    pytest asserts determinism + crafted near-dup recall."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("term"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    # JVM-side shiftleft: bit 63 wraps to Long.MIN_VALUE (two's
+    # complement sign bit) — a Python 1<<63 literal would overflow
+    sketch_bits = [
+        F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+        .otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    sk = (
+        tf.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", reduce(lambda a, b: a + b, sketch_bits).alias("simhash"))
+    )
+    bands = sk.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 8)
+
+
+@register(
+    "q_llm_ngram_jaccard",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS sh
+      FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+      WHERE len(toks) >= 5
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.05
+    """,
+)
+def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard similarity — candidates restricted to pairs
+    sharing ≥1 shingle via an inverted shingle index (self-join on the
+    shingle), so cost is Σ bucket² over shingle buckets, not n².
+    The exact counterpart of the MinHash estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    s = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 5))).alias("sh"))
+    )
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "q_llm_embed_cosine_dedup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0.4
+    """,
+)
+def q_llm_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs: embedding cosine ≥ 0.4 (unit vectors ⇒
+    dot). Broadcast NL join baseline; the LSH path (q_llm_ann_lsh)
+    covers the same semantics at scale — euclidean radius
+    √(2−2·0.4) ≈ 1.095."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    sim = dot("va", "vb")
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= 0.4)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
+    )
+
+
+@register(
+    "q_llm_lang_id",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY 1, 2
+    ),
+    lt AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY 1, 2
+    ),
+    langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v FROM dt),
+    totals AS (SELECT lang, SUM(c) AS total FROM lt GROUP BY 1),
+    grid AS (
+      SELECT l.lang, t.term,
+             ln((COALESCE(lt.c, 0) + 1)
+                / (tot.total + vb.v)) AS logp
+      FROM (SELECT DISTINCT term FROM dt) t
+      CROSS JOIN langs l
+      LEFT JOIN lt ON lt.lang = l.lang AND lt.term = t.term
+      JOIN totals tot ON tot.lang = l.lang
+      CROSS JOIN vocab vb
+    ),
+    scores AS (
+      SELECT dt.doc_id, g.lang,
+             SUM(dt.tf * g.logp)
+               + ANY_VALUE(ln(l.n_docs / (SELECT SUM(n_docs) FROM langs))) AS score
+      FROM dt JOIN grid g ON dt.term = g.term
+      JOIN langs l ON l.lang = g.lang
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, lang AS pred_lang, ROUND(score, 4) AS score
+    FROM (SELECT doc_id, lang, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY round(score, 6) DESC, lang) AS rn
+          FROM scores)
+    WHERE rn = 1
+    """,
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via a self-trained word-n-gram Naive Bayes profile:
+    per-language term log-probabilities (+1 smoothing) + doc-frequency
+    prior, argmax per document (score rounded before argmax, language
+    tiebreak — deterministic across engines).
+
+    Scale: profiles are (lang × vocab)-sized DataFrames (broadcast);
+    scoring is one join + one aggregation over exploded tokens. The
+    train corpus here is the table itself; in production the profile
+    table would be a fixed dimension input."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
+    dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    lt = toks.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    langs = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_total = d.count()  # one scalar
+    vocab_size = dt.select("term").distinct().count()  # one scalar
+    totals = lt.groupBy("lang").agg(F.sum("c").alias("total"))
+    grid = (
+        dt.select("term").distinct()
+        .crossJoin(F.broadcast(langs.select("lang")))
+        .join(lt, ["lang", "term"], "left")
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "term",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                / (F.col("total") + float(vocab_size))
+            ).alias("logp"),
+        )
+    )
+    prior = langs.select(
+        "lang", F.log(F.col("n_docs") / float(n_total)).alias("prior")
+    )
+    scores = (
+        dt.join(F.broadcast(grid), "term")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.col("logp")).alias("loglik"))
+        .join(F.broadcast(prior), "lang")
+        .select("doc_id", "lang", (F.col("loglik") + F.col("prior")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.round("score", 6).desc(), "lang")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), F.round("score", 4).alias("score"))
+    )
+
+
+@register(
+    "q_llm_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')) AS h
+      FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+      WHERE len(toks) >= 5
+    )
+    SELECT doc_id, MIN(h) AS fingerprint, CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint via rolling 5-token windows: hash every
+    window (the rolling-hash pass), keep the minimum digest — a
+    1-permutation MinHash/winnowing fingerprint. Equal fingerprints ⇒
+    shared rarest window ⇒ near-dup candidates; fingerprints are
+    32-hex strings, so downstream dedup shuffles digests, not text.
+    md5 chosen for bit-exact cross-engine parity."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select("doc_id", F.explode(shingles(F.col("toks"), 5)).alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("sh")).alias("fingerprint"), F.count("*").alias("n_windows"))
+    )
+
+
+@register(
+    "q_llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT)                    AS n_ws_tokens,
+           CAST(n_chars AS BIGINT)                                         AS n_chars,
+           ROUND(CAST(n_chars AS DOUBLE)
+                 / len(regexp_extract_all(text, '\\w+|[^\\w\\s]')), 6)     AS chars_per_token
+    FROM documents
+    """,
+)
+def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex
+    (word-runs | single punctuation) alongside whitespace counts —
+    the standard cheap proxy for LLM token budgeting. Pure regexp
+    built-ins; zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.col("n_chars").cast("double") / F.size(bpe), 6).alias("chars_per_token"),
+    )

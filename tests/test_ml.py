@@ -236,3 +236,31 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
         pytest.skip("no true pairs at this threshold in fixture")
     recall = len(true_pairs & got_pairs) / len(true_pairs)
     assert recall >= 0.8
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
+    """Crafted near-dups (1-token edits) must pair with small Hamming
+    distance; the registered query must be deterministic."""
+    from sparkit_learn_spark.registry import all_queries
+
+    got = all_queries()["q_llm_simhash_dedup"](spark, sf_dir).toPandas()
+    again = all_queries()["q_llm_simhash_dedup"](spark, sf_dir).toPandas()
+    key = lambda p: sorted(map(tuple, p[["doc_a", "doc_b", "hamming"]].to_numpy()))
+    assert key(got) == key(again)
+    assert (got["hamming"] <= 8).all()
+
+
+def test_ngram_jaccard_agrees_with_minhash_direction(spark, sf_dir):
+    """Exact Jaccard pairs at sim>=0.4 should be (mostly) recovered by
+    the MinHash candidate generator at distance<=0.6."""
+    from sparkit_learn_spark.registry import all_queries
+
+    exact = all_queries()["q_llm_ngram_jaccard"](spark, sf_dir).toPandas()
+    strong = exact[exact["jaccard"] >= 0.4]
+    if strong.empty:
+        pytest.skip("no strong near-dup pairs in fixture")
+    mh = all_queries()["q_llm_minhash_dedup"](spark, sf_dir).toPandas()
+    mh_pairs = {tuple(sorted((a, b))) for a, b in zip(mh["doc_a"], mh["doc_b"])}
+    strong_pairs = {tuple(sorted((a, b))) for a, b in zip(strong["doc_a"], strong["doc_b"])}
+    recall = len(strong_pairs & mh_pairs) / len(strong_pairs)
+    assert recall >= 0.7
