@@ -1,0 +1,509 @@
+"""DataFrame-native estimators with the reference's sklearn-flavored
+API [ref: splearn public surface, SURVEY §2A].
+
+Design rules:
+  * fit() runs distributed DataFrame jobs; fitted state is either a
+    small DataFrame (broadcast-joined at transform time) or a plain
+    Python attribute (suffix ``_``, sklearn convention) — never an
+    unbounded driver collection.
+  * transform()/predict() extend the input DataFrame lazily; nothing
+    executes until the caller acts.
+  * Columns play the role of the reference's DictRDD keys: text goes
+    in ``inputCol``, vectors in ``featuresCol``, targets in
+    ``labelCol`` — the MLlib convention (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.ml import Pipeline as _MlPipeline
+from pyspark.ml.classification import LinearSVC as _LinearSVC
+from pyspark.ml.classification import LogisticRegression as _LogReg
+from pyspark.ml.classification import NaiveBayes as _NaiveBayes
+from pyspark.ml.clustering import KMeans as _KMeans
+from pyspark.ml.feature import HashingTF as _HashingTF
+from pyspark.ml.feature import IDF as _IDF
+from pyspark.ml.regression import LinearRegression as _LinReg
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens as _tokens
+
+
+class SparkBaseEstimator:
+    """get_params/set_params over __init__ kwargs (sklearn contract,
+    mirroring the reference's SparkBaseEstimator [ref: splearn/base.py
+    · C:H])."""
+
+    def get_params(self) -> dict:
+        return {
+            k: v for k, v in vars(self).items()
+            if not k.endswith("_") and not k.startswith("_")
+        }
+
+    def set_params(self, **params) -> "SparkBaseEstimator":
+        for k, v in params.items():
+            if k not in self.get_params():
+                raise ValueError(f"unknown param {k!r} for {type(self).__name__}")
+            setattr(self, k, v)
+        return self
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        return self.fit(df).transform(df)
+
+
+# ---------------------------------------------------------------- text
+
+class SparkCountVectorizer(SparkBaseEstimator):
+    """[ref: splearn SparkCountVectorizer · C:H] — fit builds the
+    vocabulary as a DISTRIBUTED DataFrame (distinct + window ids), not
+    a driver set-union; transform emits the long-form (id, term, tf)
+    matrix, broadcast-joined against the vocab."""
+
+    def __init__(self, inputCol: str = "text", idCol: str = "doc_id"):
+        self.inputCol = inputCol
+        self.idCol = idCol
+        self.vocabulary_: DataFrame | None = None
+
+    def _terms(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            self.idCol, F.explode(_tokens(self.inputCol)).alias("term")
+        )
+
+    def fit(self, df: DataFrame) -> "SparkCountVectorizer":
+        w = Window.orderBy("term")
+        self.vocabulary_ = (
+            self._terms(df).select("term").distinct()
+            .select("term", (F.row_number().over(w) - 1).cast("long").alias("term_id"))
+        )
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.vocabulary_ is None:
+            raise RuntimeError("fit first")
+        tf = (
+            self._terms(df)
+            .groupBy(self.idCol, "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        return tf.join(F.broadcast(self.vocabulary_), "term").select(
+            self.idCol, "term", "term_id", "tf"
+        )
+
+
+class SparkHashingVectorizer(SparkBaseEstimator):
+    """[ref: splearn SparkHashingVectorizer · C:H] — stateless: fit is
+    a no-op; buckets are pmod(murmur3(term), n_features)."""
+
+    def __init__(self, n_features: int = 1024, inputCol: str = "text",
+                 idCol: str = "doc_id"):
+        self.n_features = n_features
+        self.inputCol = inputCol
+        self.idCol = idCol
+
+    def fit(self, df: DataFrame) -> "SparkHashingVectorizer":
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return (
+            df.select(self.idCol, F.explode(_tokens(self.inputCol)).alias("term"))
+            .select(
+                self.idCol,
+                F.pmod(F.hash("term"), F.lit(self.n_features)).cast("long").alias("bucket"),
+            )
+            .groupBy(self.idCol, "bucket")
+            .agg(F.count("*").alias("tf"))
+        )
+
+
+class SparkTfidfTransformer(SparkBaseEstimator):
+    """[ref: splearn SparkTfidfTransformer · C:H] — smooth idf
+    (sklearn formula ln((1+N)/(1+df)) + 1). Input: long-form
+    (idCol, term, tf); ``idf_`` is a vocab-sized DataFrame."""
+
+    def __init__(self, idCol: str = "doc_id", termCol: str = "term",
+                 tfCol: str = "tf"):
+        self.idCol = idCol
+        self.termCol = termCol
+        self.tfCol = tfCol
+        self.idf_: DataFrame | None = None
+
+    def fit(self, tf_df: DataFrame) -> "SparkTfidfTransformer":
+        n_docs = tf_df.select(self.idCol).distinct().count()
+        df = tf_df.groupBy(self.termCol).agg(
+            F.countDistinct(self.idCol).alias("df")
+        )
+        self.idf_ = df.select(
+            self.termCol,
+            (F.log((1.0 + n_docs) / (1 + F.col("df"))) + 1).alias("idf"),
+        )
+        return self
+
+    def transform(self, tf_df: DataFrame) -> DataFrame:
+        if self.idf_ is None:
+            raise RuntimeError("fit first")
+        return tf_df.join(F.broadcast(self.idf_), self.termCol).select(
+            self.idCol,
+            self.termCol,
+            (F.col(self.tfCol) * F.col("idf")).alias("tfidf"),
+        )
+
+
+# ------------------------------------------------------------ bayesian
+
+class SparkMultinomialNB(SparkBaseEstimator):
+    """[ref: splearn SparkMultinomialNB · C:H] — MLlib NaiveBayes
+    (multinomial) over a features vector column; sufficient statistics
+    merge distributedly exactly as the reference's reduce(add)."""
+
+    def __init__(self, alpha: float = 1.0, featuresCol: str = "features",
+                 labelCol: str = "label"):
+        self.alpha = alpha
+        self.featuresCol = featuresCol
+        self.labelCol = labelCol
+        self.model_ = None
+
+    def fit(self, df: DataFrame) -> "SparkMultinomialNB":
+        self.model_ = _NaiveBayes(
+            smoothing=self.alpha, modelType="multinomial",
+            featuresCol=self.featuresCol, labelCol=self.labelCol,
+        ).fit(df)
+        return self
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        return self.model_.transform(df)
+
+    transform = predict
+
+
+class SparkGaussianNB(SparkBaseEstimator):
+    """[ref: splearn SparkGaussianNB · C:H] — per-class mean/var
+    sufficient statistics as ONE distributed aggregate (Chan-merge
+    inside var_pop); scoring via broadcast of the (class × dim) stats."""
+
+    def __init__(self, vecCol: str = "embedding", labelCol: str = "label",
+                 var_smoothing: float = 1e-9):
+        self.vecCol = vecCol
+        self.labelCol = labelCol
+        self.var_smoothing = var_smoothing
+        self.stats_: DataFrame | None = None
+        self.priors_: DataFrame | None = None
+
+    def fit(self, df: DataFrame) -> "SparkGaussianNB":
+        dims = df.select(
+            self.labelCol, F.posexplode(self.vecCol).alias("dim", "val")
+        ).withColumn("val", F.col("val").cast("double"))
+        self.stats_ = dims.groupBy(self.labelCol, "dim").agg(
+            F.avg("val").alias("mu"),
+            (F.var_pop("val") + self.var_smoothing).alias("var"),
+        )
+        total = df.count()
+        self.priors_ = df.groupBy(self.labelCol).agg(
+            F.log(F.count("*") / float(total)).alias("log_prior")
+        )
+        return self
+
+    def predict(self, df: DataFrame, idCol: str = "vec_id") -> DataFrame:
+        if self.stats_ is None:
+            raise RuntimeError("fit first")
+        lbl = self.labelCol
+        dims = df.select(
+            idCol, F.posexplode(self.vecCol).alias("dim", "val")
+        ).withColumn("val", F.col("val").cast("double"))
+        ll = (
+            dims.join(F.broadcast(self.stats_), "dim")
+            .groupBy(idCol, lbl)
+            .agg(
+                F.sum(
+                    -0.5 * F.log(2 * np.pi * F.col("var"))
+                    - (F.col("val") - F.col("mu")) ** 2 / (2 * F.col("var"))
+                ).alias("loglik")
+            )
+            .join(F.broadcast(self.priors_), lbl)
+            .select(idCol, lbl, (F.col("loglik") + F.col("log_prior")).alias("score"))
+        )
+        w = Window.partitionBy(idCol).orderBy(F.col("score").desc(), lbl)
+        return (
+            ll.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(idCol, F.col(lbl).alias("prediction"), "score")
+        )
+
+
+# ---------------------------------------------------------- linear/mllib
+
+class _MllibWrapper(SparkBaseEstimator):
+    _cls = None
+    _extra: dict = {}
+
+    def __init__(self, featuresCol: str = "features", labelCol: str = "label",
+                 maxIter: int = 50, regParam: float = 0.0):
+        self.featuresCol = featuresCol
+        self.labelCol = labelCol
+        self.maxIter = maxIter
+        self.regParam = regParam
+        self.model_ = None
+
+    def fit(self, df: DataFrame):
+        est = self._cls(
+            featuresCol=self.featuresCol, labelCol=self.labelCol,
+            maxIter=self.maxIter, regParam=self.regParam, **self._extra,
+        )
+        self.model_ = est.fit(df)
+        return self
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        return self.model_.transform(df)
+
+    transform = predict
+
+    @property
+    def coef_(self) -> np.ndarray:
+        return np.asarray(self.model_.coefficients)
+
+    @property
+    def intercept_(self) -> float:
+        return float(self.model_.intercept)
+
+
+class SparkLinearRegression(_MllibWrapper):
+    """[ref: splearn SparkLinearRegression · C:H] — exact distributed
+    solver (WLS/L-BFGS) instead of per-partition OLS averaging."""
+    _cls = _LinReg
+
+
+class SparkLogisticRegression(_MllibWrapper):
+    """[ref: splearn SparkLogisticRegression · C:H] — L-BFGS instead
+    of parameter averaging."""
+    _cls = _LogReg
+
+
+class SparkLinearSVC(_MllibWrapper):
+    """[ref: splearn SparkLinearSVC · C:H] — OWLQN hinge-loss solver."""
+    _cls = _LinearSVC
+
+
+class SparkKMeans(SparkBaseEstimator):
+    """[ref: splearn SparkKMeans · C:H] — delegates to MLlib KMeans
+    (k-means‖ init), as the reference did."""
+
+    def __init__(self, n_clusters: int = 8, seed: int = 42,
+                 featuresCol: str = "features"):
+        self.n_clusters = n_clusters
+        self.seed = seed
+        self.featuresCol = featuresCol
+        self.model_ = None
+
+    def fit(self, df: DataFrame) -> "SparkKMeans":
+        self.model_ = _KMeans(
+            k=self.n_clusters, seed=self.seed, featuresCol=self.featuresCol
+        ).fit(df)
+        return self
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        return self.model_.transform(df)
+
+    @property
+    def cluster_centers_(self) -> np.ndarray:
+        return np.array(self.model_.clusterCenters())
+
+
+class SparkTruncatedSVD(SparkBaseEstimator):
+    """[ref: splearn SparkTruncatedSVD · C:M] — Gram matrix via
+    Arrow-batched partial XᵀX (distributed sum), local eigh on the
+    driver's d×d result. Driver state is O(d²), independent of rows."""
+
+    def __init__(self, n_components: int = 8, vecCol: str = "embedding"):
+        self.n_components = n_components
+        self.vecCol = vecCol
+        self.singular_values_: np.ndarray | None = None
+        self.components_: np.ndarray | None = None
+
+    def fit(self, df: DataFrame) -> "SparkTruncatedSVD":
+        import pandas as pd
+
+        col = self.vecCol
+
+        def partial_gram(batches):
+            for pdf in batches:
+                X = np.asarray([np.asarray(v, np.float64) for v in pdf[col]])
+                if len(X) == 0:
+                    continue
+                G = X.T @ X
+                d = G.shape[0]
+                ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+                yield pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(), "g": G.ravel()})
+
+        gl = (
+            df.select(col)
+            .mapInPandas(partial_gram, schema="i int, j int, g double")
+            .groupBy("i", "j").agg(F.sum("g").alias("g"))
+            .toPandas()
+        )
+        d = int(gl["i"].max()) + 1
+        G = np.zeros((d, d))
+        G[gl["i"], gl["j"]] = gl["g"]
+        vals, vecs = np.linalg.eigh(G)
+        order = np.argsort(vals)[::-1][: self.n_components]
+        self.singular_values_ = np.sqrt(np.clip(vals[order], 0, None))
+        self.components_ = vecs[:, order].T
+        return self
+
+    def transform(self, df: DataFrame, idCol: str = "vec_id") -> DataFrame:
+        """Project rows onto the fitted components (X · Vᵀ) via a
+        broadcast components matrix inside an Arrow batch transform."""
+        import pandas as pd
+
+        if self.components_ is None:
+            raise RuntimeError("fit first")
+        comp = df.sparkSession.sparkContext.broadcast(self.components_)
+        col, k = self.vecCol, self.n_components
+
+        def project(batches):
+            V = comp.value
+            for pdf in batches:
+                X = np.asarray([np.asarray(v, np.float64) for v in pdf[col]])
+                P = X @ V.T if len(X) else np.zeros((0, k))
+                yield pd.DataFrame({"vec_id": pdf[idCol], "projection": list(map(list, P))})
+
+        return df.select(idCol, col).mapInPandas(
+            project, schema="vec_id long, projection array<double>"
+        )
+
+
+class SparkVarianceThreshold(SparkBaseEstimator):
+    """[ref: splearn SparkVarianceThreshold · C:M] — per-dim variance
+    in one aggregate; keeps dims with var > threshold."""
+
+    def __init__(self, threshold: float = 0.0, vecCol: str = "embedding"):
+        self.threshold = threshold
+        self.vecCol = vecCol
+        self.variances_: DataFrame | None = None
+
+    def fit(self, df: DataFrame) -> "SparkVarianceThreshold":
+        dims = df.select(F.posexplode(self.vecCol).alias("dim", "val"))
+        self.variances_ = dims.groupBy("dim").agg(
+            F.var_samp(F.col("val").cast("double")).alias("var")
+        )
+        return self
+
+    def get_support(self) -> list[int]:
+        if self.variances_ is None:
+            raise RuntimeError("fit first")
+        kept = (
+            self.variances_.filter(F.col("var") > self.threshold)
+            .select("dim").toPandas()["dim"]  # ≤ d values — bounded
+        )
+        return sorted(int(x) for x in kept)
+
+
+class SparkStandardScaler(SparkBaseEstimator):
+    """StandardScaler over a scalar column: mean/std in one aggregate,
+    broadcast back (no window over unpartitioned data)."""
+
+    def __init__(self, inputCol: str = "value", outputCol: str = "value_scaled"):
+        self.inputCol = inputCol
+        self.outputCol = outputCol
+        self.mean_: float | None = None
+        self.std_: float | None = None
+
+    def fit(self, df: DataFrame) -> "SparkStandardScaler":
+        row = df.agg(
+            F.avg(self.inputCol).alias("mu"),
+            F.stddev_samp(self.inputCol).alias("sigma"),
+        ).first()
+        self.mean_, self.std_ = float(row["mu"]), float(row["sigma"])
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.mean_ is None:
+            raise RuntimeError("fit first")
+        return df.withColumn(
+            self.outputCol, (F.col(self.inputCol) - self.mean_) / self.std_
+        )
+
+
+# -------------------------------------------------------- composition
+
+class SparkPipeline(SparkBaseEstimator):
+    """[ref: splearn SparkPipeline · C:H] — sequential fit→transform
+    chaining of SparkBaseEstimator steps over ONE DataFrame (the
+    DictRDD of the reference is just named columns here)."""
+
+    def __init__(self, steps: list[tuple[str, SparkBaseEstimator]]):
+        self.steps = steps
+
+    def fit(self, df: DataFrame) -> "SparkPipeline":
+        cur = df
+        for _, est in self.steps[:-1]:
+            cur = est.fit(cur).transform(cur)
+        self.steps[-1][1].fit(cur)
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cur = df
+        for _, est in self.steps:
+            cur = est.transform(cur)
+        return cur
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        cur = df
+        for _, est in self.steps[:-1]:
+            cur = est.transform(cur)
+        last = self.steps[-1][1]
+        return last.predict(cur)
+
+
+class SparkGridSearchCV(SparkBaseEstimator):
+    """[ref: splearn SparkGridSearchCV · C:H] — MLlib CrossValidator
+    over a param grid; folds and candidate fits run distributed."""
+
+    def __init__(self, estimator, param_grid: dict, evaluator, numFolds: int = 3,
+                 seed: int = 42, parallelism: int = 2):
+        self.estimator = estimator
+        self.param_grid = param_grid
+        self.evaluator = evaluator
+        self.numFolds = numFolds
+        self.seed = seed
+        self.parallelism = parallelism
+        self.best_params_: dict | None = None
+        self.cv_results_: list | None = None
+
+    def fit(self, df: DataFrame) -> "SparkGridSearchCV":
+        builder = ParamGridBuilder()
+        for pname, values in self.param_grid.items():
+            builder = builder.addGrid(getattr(self.estimator, pname), values)
+        grid = builder.build()
+        cv = CrossValidator(
+            estimator=self.estimator, estimatorParamMaps=grid,
+            evaluator=self.evaluator, numFolds=self.numFolds,
+            seed=self.seed, parallelism=self.parallelism,
+        )
+        model = cv.fit(df)
+        self.model_ = model
+        self.cv_results_ = [
+            ({p.name: v for p, v in g.items()}, float(m))
+            for g, m in zip(grid, model.avgMetrics)
+        ]
+        best_idx = int(np.argmax(model.avgMetrics))
+        self.best_params_ = self.cv_results_[best_idx][0]
+        return self
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        return self.model_.transform(df)
+
+
+# Kept for API discoverability: the ML pipeline composition used by
+# q_ml_pipeline (Tokenizer→HashingTF→IDF→LogReg) via native pyspark.ml
+def make_text_classification_pipeline(numFeatures: int = 1024,
+                                      labelCol: str = "binlabel") -> _MlPipeline:
+    from pyspark.ml.feature import Tokenizer
+
+    return _MlPipeline(stages=[
+        Tokenizer(inputCol="text", outputCol="toks"),
+        _HashingTF(inputCol="toks", outputCol="rawtf", numFeatures=numFeatures),
+        _IDF(inputCol="rawtf", outputCol="features"),
+        _LogReg(labelCol=labelCol, maxIter=30, regParam=0.01),
+    ])

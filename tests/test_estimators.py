@@ -1,0 +1,154 @@
+"""sklearn-style estimator API tests (the splearn migration surface):
+fit/transform contract, fitted attributes, and numeric agreement with
+the relationally-verified query forms."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.ml.evaluation import BinaryClassificationEvaluator
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import functions as F
+
+from sparkit_learn_spark.catalog import load_table
+from sparkit_learn_spark.ml import (
+    SparkCountVectorizer,
+    SparkGaussianNB,
+    SparkGridSearchCV,
+    SparkKMeans,
+    SparkLogisticRegression,
+    SparkPipeline,
+    SparkStandardScaler,
+    SparkTfidfTransformer,
+    SparkTruncatedSVD,
+    SparkVarianceThreshold,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def vec(emb):
+    return emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        (F.col("label") < 5).cast("double").alias("binlabel"),
+    )
+
+
+def test_count_vectorizer_and_params(docs):
+    cv = SparkCountVectorizer()
+    assert cv.get_params() == {"inputCol": "text", "idCol": "doc_id"}
+    out = cv.fit(docs).transform(docs)
+    vocab_size = cv.vocabulary_.count()
+    assert out.select("term_id").distinct().count() <= vocab_size
+    total_tf = out.agg(F.sum("tf")).first()[0]
+    n_tokens = docs.select(F.explode(F.split("text", " "))).count()
+    assert total_tf == n_tokens
+    cv.set_params(inputCol="text")
+    with pytest.raises(ValueError):
+        cv.set_params(bogus=1)
+
+
+def test_tfidf_pipeline_matches_query(spark, sf_dir, docs):
+    from sparkit_learn_spark.registry import all_queries
+
+    pipe = SparkPipeline([
+        ("cv", SparkCountVectorizer()),
+        ("tfidf", SparkTfidfTransformer()),
+    ])
+    got = (
+        pipe.fit(docs).transform(docs)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
+        .toPandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        all_queries()["q_ml_tfidf"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    assert (got["tfidf"] - expect["tfidf"]).abs().max() < 1e-6
+
+
+def test_gaussian_nb_fit_predict(emb):
+    nb = SparkGaussianNB()
+    pred = nb.fit(emb).predict(emb)
+    assert pred.count() == emb.count()
+    # on its own training data a 10-class GNB should beat chance
+    acc = (
+        pred.join(emb, "vec_id")
+        .filter(F.col("prediction") == F.col("label"))
+        .count()
+        / emb.count()
+    )
+    assert acc > 0.2
+
+
+def test_logreg_coef_and_accuracy(vec):
+    lr = SparkLogisticRegression(labelCol="binlabel", maxIter=50, regParam=0.01)
+    pred = lr.fit(vec).predict(vec)
+    assert lr.coef_.shape == (64,)
+    acc = pred.filter(F.col("prediction") == F.col("binlabel")).count() / vec.count()
+    assert acc >= 0.5
+
+
+def test_kmeans_centers(vec):
+    km = SparkKMeans(n_clusters=5)
+    km.fit(vec)
+    assert km.cluster_centers_.shape == (5, 64)
+
+
+def test_truncated_svd_matches_numpy(emb):
+    svd = SparkTruncatedSVD(n_components=4)
+    svd.fit(emb)
+    X = np.array([np.asarray(r["embedding"], np.float64) for r in emb.collect()])
+    expect = np.linalg.svd(X, compute_uv=False)[:4]
+    np.testing.assert_allclose(svd.singular_values_, expect, rtol=1e-6)
+    proj = svd.transform(emb).first()["projection"]
+    assert len(proj) == 4
+
+
+def test_variance_threshold_support(emb):
+    vt = SparkVarianceThreshold(threshold=0.015)
+    support = vt.fit(emb).get_support()
+    X = np.array([np.asarray(r["embedding"], np.float64) for r in emb.collect()])
+    expect = sorted(np.where(X.var(axis=0, ddof=1) > 0.015)[0])
+    assert support == [int(x) for x in expect]
+
+
+def test_standard_scaler(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sc = SparkStandardScaler(inputCol="value")
+    out = sc.fit(ev).transform(ev)
+    row = out.agg(
+        F.round(F.avg("value_scaled"), 6).alias("mu"),
+        F.round(F.stddev_samp("value_scaled"), 6).alias("sigma"),
+    ).first()
+    assert abs(row["mu"]) < 1e-6
+    assert abs(row["sigma"] - 1.0) < 1e-6
+
+
+def test_grid_search_cv(vec):
+    from pyspark.ml.classification import LogisticRegression
+
+    gs = SparkGridSearchCV(
+        estimator=LogisticRegression(featuresCol="features", labelCol="binlabel", maxIter=20),
+        param_grid={"regParam": [0.01, 0.5]},
+        evaluator=BinaryClassificationEvaluator(labelCol="binlabel"),
+        numFolds=3,
+    )
+    gs.fit(vec)
+    assert gs.best_params_["regParam"] in (0.01, 0.5)
+    assert len(gs.cv_results_) == 2
