@@ -9,7 +9,10 @@ is a DataFrame with named columns instead of a DictRDD ('X','y').
 """
 
 from .estimators import (  # noqa: F401
+    SparkBernoulliNB,
     SparkCountVectorizer,
+    SparkDictVectorizer,
+    SparkFeatureUnion,
     SparkGaussianNB,
     SparkGridSearchCV,
     SparkHashingVectorizer,
@@ -19,6 +22,7 @@ from .estimators import (  # noqa: F401
     SparkLogisticRegression,
     SparkMultinomialNB,
     SparkPipeline,
+    SparkSGDClassifier,
     SparkStandardScaler,
     SparkTfidfTransformer,
     SparkTruncatedSVD,

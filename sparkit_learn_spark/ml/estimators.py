@@ -507,3 +507,85 @@ def make_text_classification_pipeline(numFeatures: int = 1024,
         _IDF(inputCol="rawtf", outputCol="features"),
         _LogReg(labelCol=labelCol, maxIter=30, regParam=0.01),
     ])
+
+
+class SparkBernoulliNB(SparkMultinomialNB):
+    """[ref: splearn SparkBernoulliNB · C:M] — MLlib NaiveBayes with
+    bernoulli model type (features must be binary; pair with
+    HashingTF(binary=True) or a binarized count vector)."""
+
+    def fit(self, df: DataFrame) -> "SparkBernoulliNB":
+        self.model_ = _NaiveBayes(
+            smoothing=self.alpha, modelType="bernoulli",
+            featuresCol=self.featuresCol, labelCol=self.labelCol,
+        ).fit(df)
+        return self
+
+
+class SparkSGDClassifier(SparkLogisticRegression):
+    """[ref: splearn SparkSGDClassifier · C:H] — the reference ran
+    per-partition partial_fit + averaging per pass; the capability
+    match here is MLlib's iterative logistic solver (treeAggregate
+    gradients — strictly better convergence than averaging). Kept as
+    an alias with the reference's name for migration."""
+
+
+class SparkDictVectorizer(SparkBaseEstimator):
+    """[ref: splearn SparkDictVectorizer · C:M] — map-typed feature
+    dicts -> long-form (id, feature, value) with stable feature ids.
+    Input column must be MapType(string, numeric) (use from_json for
+    JSON props, e.g. the events.props fixture)."""
+
+    def __init__(self, inputCol: str = "props", idCol: str = "event_id"):
+        self.inputCol = inputCol
+        self.idCol = idCol
+        self.feature_names_: DataFrame | None = None
+
+    def _entries(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            self.idCol, F.explode(self.inputCol).alias("feature", "value")
+        )
+
+    def fit(self, df: DataFrame) -> "SparkDictVectorizer":
+        w = Window.orderBy("feature")
+        self.feature_names_ = (
+            self._entries(df).select("feature").distinct()
+            .select("feature",
+                    (F.row_number().over(w) - 1).cast("long").alias("feature_id"))
+        )
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.feature_names_ is None:
+            raise RuntimeError("fit first")
+        return self._entries(df).join(
+            F.broadcast(self.feature_names_), "feature"
+        ).select(self.idCol, "feature", "feature_id",
+                 F.col("value").cast("double").alias("value"))
+
+
+class SparkFeatureUnion(SparkBaseEstimator):
+    """[ref: splearn SparkFeatureUnion · C:M] — horizontal concat of
+    several transformers' outputs, joined on the shared id column
+    (the DataFrame-native form of per-block hstack)."""
+
+    def __init__(self, transformer_list: list[tuple[str, SparkBaseEstimator]],
+                 idCol: str = "doc_id"):
+        self.transformer_list = transformer_list
+        self.idCol = idCol
+
+    def fit(self, df: DataFrame) -> "SparkFeatureUnion":
+        for _, t in self.transformer_list:
+            t.fit(df)
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        out = None
+        for name, t in self.transformer_list:
+            part = t.transform(df)
+            renamed = part.select(
+                self.idCol,
+                *[F.col(c).alias(f"{name}__{c}") for c in part.columns if c != self.idCol],
+            )
+            out = renamed if out is None else out.join(renamed, self.idCol, "outer")
+        return out

@@ -152,3 +152,57 @@ def test_grid_search_cv(vec):
     gs.fit(vec)
     assert gs.best_params_["regParam"] in (0.01, 0.5)
     assert len(gs.cv_results_) == 2
+
+
+def test_dict_vectorizer_on_props(spark, sf_dir):
+    from pyspark.sql.types import IntegerType, MapType, StringType
+
+    from sparkit_learn_spark.ml import SparkDictVectorizer
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.from_json("props", MapType(StringType(), IntegerType())).alias("props"),
+    )
+    dv = SparkDictVectorizer()
+    out = dv.fit(ev).transform(ev)
+    assert out.count() == ev.count()  # one 'k' entry per event
+    assert dv.feature_names_.count() == 1
+    assert out.filter(F.col("feature") != "k").count() == 0
+
+
+def test_feature_union_joins_columns(docs):
+    from sparkit_learn_spark.ml import (
+        SparkFeatureUnion,
+        SparkHashingVectorizer,
+    )
+
+    fu = SparkFeatureUnion(
+        [("h1", SparkHashingVectorizer(n_features=64)),
+         ("h2", SparkHashingVectorizer(n_features=128))],
+        idCol="doc_id",
+    )
+    out = fu.fit(docs).transform(docs)
+    cols = set(out.columns)
+    assert {"doc_id", "h1__bucket", "h1__tf", "h2__bucket", "h2__tf"} <= cols
+
+
+def test_bernoulli_nb_runs(vec):
+    from pyspark.ml.feature import Binarizer
+    from pyspark.ml.functions import vector_to_array
+
+    from sparkit_learn_spark.ml import SparkBernoulliNB
+
+    # binarize the embedding (sign) for a bernoulli model
+    binf = vec.select(
+        "vec_id",
+        array_to_vector(
+            F.transform(
+                vector_to_array("features"), lambda x: (x > 0).cast("double")
+            )
+        ).alias("features"),
+        F.col("binlabel").alias("label"),
+    )
+    nb = SparkBernoulliNB()
+    pred = nb.fit(binf).predict(binf)
+    acc = pred.filter(F.col("prediction") == F.col("label")).count() / binf.count()
+    assert acc >= 0.5
