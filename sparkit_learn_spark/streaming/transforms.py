@@ -99,3 +99,44 @@ def static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 6).alias("sum_value"))
     )
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (n_events, sum_value) emitted every micro-batch —
+    the streaming counterpart of a cumulative groupBy that built-in
+    aggregations can't express incrementally per-batch.
+
+    State per user is two scalars (bounded); at 100 TB the state store
+    shards by user_id across executors (RocksDB-backed in production).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch oracle for the stateful operator: the final state is just
+    the per-user aggregate."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )

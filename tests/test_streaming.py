@@ -127,3 +127,27 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert by_hour.get("2024-01-01 10:00:00") == 1
     # the 12:00 window accumulated both fresh events
     assert by_hour.get("2024-01-01 12:00:00") == 2
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir, events_stream, events_batch):
+    """applyInPandasWithState: after consuming the whole stream, the
+    latest emitted state per user must equal the batch aggregate."""
+    q = (
+        T.running_user_totals_stream(events_stream)
+        .writeStream.format("memory")
+        .queryName("mem_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, sum_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) AS rn
+          FROM mem_state) WHERE rn = 1
+        """
+    ).toPandas()
+    expect = T.running_user_totals_batch(events_batch).toPandas()
+    compare_frames(got, expect, name="stateful_running_totals")
