@@ -34,6 +34,10 @@ HEADLINE = [
     "q_llm_exact_dedup", # sha2 hash dedup
     "q_llm_cosine_topk", # O(N²) vector math (2k×2k at sf0.1)
     "q_llm_minhash_dedup",  # MinHash LSH similarity join
+    "q_llm_simhash_dedup",  # 64-bit sketch + band join
+    "q_llm_ngram_jaccard",  # exact Jaccard via inverted shingle index
+    "q_llm_lang_id",        # NB language-ID (profile + score + argmax)
+    "q_llm_ann_ivf",        # IVF approximate neighbors
 ]
 
 

@@ -119,7 +119,12 @@ def ivf_topk(emb: DataFrame, *, k: int = 5, n_lists: int = 16, n_probe: int = 4,
         F.col(vec_col).alias("v"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(vec)
+    # random init, capped iterations: quantizer quality barely affects
+    # recall (n_probe does), and k-means|| init costs ~5× in job count
+    km = KMeans(
+        k=n_lists, seed=seed, featuresCol="features",
+        initMode="random", maxIter=10,
+    ).fit(vec)
     assign = km.transform(vec).select(
         F.col("vid"), F.col("v"), F.col("prediction").alias("list_id")
     )
@@ -144,11 +149,25 @@ def ivf_topk(emb: DataFrame, *, k: int = 5, n_lists: int = 16, n_probe: int = 4,
         probe, schema="qid long, qv array<double>, list_id int"
     )
     cands = probes.join(assign, "list_id").filter(F.col("qid") != F.col("vid"))
-    sim = F.round(dot("qv", "v"), 6)
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vid")
+
+    def score(batches):  # vectorized rowwise dot — numpy, not per-pair fold
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array([np.asarray(x, np.float64) for x in pdf["qv"]])
+            B = np.array([np.asarray(x, np.float64) for x in pdf["v"]])
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"],
+                    "nid": pdf["vid"],
+                    "sim": np.round(np.einsum("ij,ij->i", A, B), 6),
+                }
+            )
+
+    scored = cands.mapInPandas(score, schema="qid long, nid long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "nid")
     return (
-        cands.withColumn("sim", sim)
-        .withColumn("rn", F.row_number().over(w).cast("long"))
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
-        .select("qid", F.col("vid").alias("nid"), "sim", "rn")
+        .select("qid", "nid", "sim", "rn")
     )
