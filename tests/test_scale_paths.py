@@ -1,0 +1,75 @@
+"""Scale-path demonstrations that must hold at any size: bucketed
+co-located joins eliminate the shuffle; salted joins preserve results;
+CSV/JSON sources roundtrip."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparkit_learn_spark.catalog import load_table
+from sparkit_learn_spark.operators.skew import salted_join
+from sparkit_learn_spark.plans.inspect import explain_str
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key -> SortMergeJoin with NO
+    Exchange on either side (the 100 TB co-location strategy)."""
+    # warehouse.dir is static; tables land in ./spark-warehouse (gitignored)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        (o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").saveAsTable("orders_b"))
+        (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey").saveAsTable("lineitem_b"))
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).select(
+            "o_orderkey", "l_linenumber"
+        )
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        expect = o.join(li, o.o_orderkey == li.l_orderkey).count()
+        assert joined.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "user_id"
+    )
+    plain = ev.join(cust, "user_id").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("s")
+    )
+    salted = salted_join(ev, cust, "user_id", n_salts=8).groupBy(
+        "c_mktsegment"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("s"))
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.collect()}
+    assert a == b
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_alternate_source_formats_roundtrip(spark, sf_dir, tmp_path, fmt):
+    """The engine reads more than parquet: CSV (header+schema) and
+    JSON lines roundtrip the orders table bit-for-bit on key columns."""
+    out = str(tmp_path / f"orders_{fmt}")
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    getattr(df.write.mode("overwrite"), fmt)(out, **(
+        {"header": True} if fmt == "csv" else {}
+    ))
+    reader = spark.read.schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+    back = getattr(reader.option("header", True) if fmt == "csv" else reader, fmt)(out)
+    assert back.count() == df.count()
+    assert back.agg(F.round(F.sum("o_totalprice"), 4)).first()[0] == \
+        df.agg(F.round(F.sum("o_totalprice"), 4)).first()[0]
