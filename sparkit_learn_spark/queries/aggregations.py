@@ -228,3 +228,53 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_raw_sum") > 400)
         .select("l_partkey", F.round("_raw_sum", _R6).alias("sum_qty"))
     )
+
+
+@register(
+    "q_agg_time_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts)  AS bucket_day,
+           date_trunc('hour', ts) AS bucket_hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6)     AS sum_value
+    FROM events
+    GROUP BY ROLLUP (bucket_day, bucket_hour, event_type)
+    """,
+)
+def q_agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one-pass ROLLUP over the
+    (day -> hour -> event_type) hierarchy — every granularity a
+    time-series store would materialize, from a single shuffle
+    (operators/rollup.py time_rollup)."""
+    from ..catalog import load_table as _lt
+    from ..operators.rollup import time_rollup
+
+    ev = _lt(spark, sf_dir, "events")
+    return time_rollup(
+        ev,
+        ts_col="ts",
+        levels=("day", "hour"),
+        dims=("event_type",),
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        ],
+    )
+
+
+@register("q_agg_approx_quantiles")  # rows-only: t-digest/GK sketches are engine-specific
+def q_agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantile sketch (Greenwald-Khanna): p50/p90/p99 of
+    o_totalprice per status at 0.1% relative error. Mergeable sketch =
+    single pass + tiny shuffle at any scale; error bound asserted
+    against DuckDB's exact quantiles in tests/test_ml.py."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 1000).alias("q"),
+    ).select(
+        "o_orderstatus",
+        F.round(F.col("q")[0], 2).alias("p50"),
+        F.round(F.col("q")[1], 2).alias("p90"),
+        F.round(F.col("q")[2], 2).alias("p99"),
+    )

@@ -279,3 +279,19 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     approx_pairs = {(q, n) for q, n in zip(approx["qid"], approx["nid"])}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.6
+
+
+def test_approx_quantiles_error_bound(spark, sf_dir, duck):
+    got = Q["q_agg_approx_quantiles"](spark, sf_dir).toPandas().set_index("o_orderstatus")
+    exact = duck.sql(
+        """
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.5) p50,
+               quantile_cont(o_totalprice, 0.9) p90,
+               quantile_cont(o_totalprice, 0.99) p99
+        FROM orders GROUP BY 1
+        """
+    ).df().set_index("o_orderstatus")
+    for s in exact.index:
+        for c in ("p50", "p90", "p99"):
+            assert abs(got.loc[s, c] - exact.loc[s, c]) / exact.loc[s, c] < 0.02

@@ -73,3 +73,30 @@ def test_alternate_source_formats_roundtrip(spark, sf_dir, tmp_path, fmt):
     assert back.count() == df.count()
     assert back.agg(F.round(F.sum("o_totalprice"), 4)).first()[0] == \
         df.agg(F.round(F.sum("o_totalprice"), 4)).first()[0]
+
+
+def test_generic_asof_join_matches_query_form(spark, sf_dir):
+    """operators.asof.asof_join (generic two-table as-of) must agree
+    with the registered single-table window form on the purchases←
+    clicks task (strict prior match)."""
+    from sparkit_learn_spark.operators.asof import asof_join
+    from sparkit_learn_spark.registry import all_queries
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    got = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts",
+        right_ts="click_ts", inclusive=False,
+    ).select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("asof_ts").alias("last_click_ts"),
+    ).toPandas()
+    expect = all_queries()["q_join_asof"](spark, sf_dir).toPandas()
+    from sparkit_learn_spark.testing import compare_frames
+
+    compare_frames(got, expect, name="generic_asof")
