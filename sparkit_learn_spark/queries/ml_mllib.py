@@ -231,9 +231,9 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_llm_ann_ivf")  # rows-only: recall checked in pytest
 def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 cosine neighbors (KMeans coarse quantizer,
-    4-of-16 probed lists) — the second ANN scale path beside LSH;
+    6-of-16 probed lists) — the second ANN scale path beside LSH;
     recall vs the exact baseline asserted in tests/test_ml.py."""
     from ..operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(e, k=5, n_lists=16, n_probe=4, seed=SEED)
+    return ivf_topk(e, k=5, n_lists=16, n_probe=6, seed=SEED)

@@ -267,14 +267,14 @@ def test_ngram_jaccard_agrees_with_minhash_direction(spark, sf_dir):
 
 
 def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
-    """IVF with n_probe=4/16 lists must recover ≥60% of exact top-5
+    """IVF with n_probe=6/16 lists must recover ≥60% of exact top-5
     neighbors (recall rises with n_probe; exact at n_probe=n_lists)."""
     from sparkit_learn_spark.catalog import load_table
     from sparkit_learn_spark.operators.similarity import cosine_topk, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     exact = cosine_topk(emb, k=5).toPandas()
-    approx = ivf_topk(emb, k=5, n_lists=16, n_probe=4).toPandas()
+    approx = ivf_topk(emb, k=5, n_lists=16, n_probe=6).toPandas()
     exact_pairs = {(q, n) for q, n in zip(exact["qid"], exact["nid"])}
     approx_pairs = {(q, n) for q, n in zip(approx["qid"], approx["nid"])}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
