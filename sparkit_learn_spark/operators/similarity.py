@@ -126,36 +126,42 @@ def ivf_topk(emb: DataFrame, *, k: int = 5, n_lists: int = 16, n_probe: int = 4,
         initMode="random", maxIter=10,
     ).fit(vec)
     assign = km.transform(vec).select(
-        F.col("vid"), F.col("v"), F.col("prediction").alias("list_id")
+        F.col("vid"), F.col("prediction").alias("list_id")
     )
     centers = np.array(km.clusterCenters())
-    b_centers = emb.sparkSession.sparkContext.broadcast(centers)
+    sc = emb.sparkSession.sparkContext
+    b_centers = sc.broadcast(centers)
+    # the vector matrix is broadcast once for scoring: the candidate
+    # join then shuffles ONLY (int, int) id pairs, never arrays.
+    # (Viable to ~10⁶ vectors; past that, shard the index by list_id.)
+    rows = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).collect()
+    ids = np.array([r["vid"] for r in rows], dtype=np.int64)
+    M = np.array([np.asarray(r["v"], np.float64) for r in rows])
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]  # id-sorted -> O(log n) searchsorted gather
+    b_M, b_ids = sc.broadcast(M), sc.broadcast(ids)
 
     def probe(batches):
-        C = b_centers.value
+        C, Mx, sids = b_centers.value, b_M.value, b_ids.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            Q = np.array([np.asarray(x, np.float64) for x in pdf["v"]])
+            Q = Mx[np.searchsorted(sids, pdf["vid"].to_numpy())]
             d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
             near = np.argsort(d, axis=1)[:, :n_probe]
-            rows = []
-            for i, qid in enumerate(pdf["vid"].to_numpy()):
-                for c in near[i]:
-                    rows.append((int(qid), list(map(float, Q[i])), int(c)))
-            yield pd.DataFrame(rows, columns=["qid", "qv", "list_id"])
+            qids = np.repeat(pdf["vid"].to_numpy(), n_probe)
+            yield pd.DataFrame({"qid": qids, "list_id": near.ravel()})
 
-    probes = vec.mapInPandas(
-        probe, schema="qid long, qv array<double>, list_id int"
-    )
+    probes = vec.select("vid").mapInPandas(probe, schema="qid long, list_id int")
     cands = probes.join(assign, "list_id").filter(F.col("qid") != F.col("vid"))
 
-    def score(batches):  # vectorized rowwise dot — numpy, not per-pair fold
+    def score(batches):  # batch gather + rowwise einsum from broadcast matrix
+        Mx, sids = b_M.value, b_ids.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.array([np.asarray(x, np.float64) for x in pdf["qv"]])
-            B = np.array([np.asarray(x, np.float64) for x in pdf["v"]])
+            A = Mx[np.searchsorted(sids, pdf["qid"].to_numpy())]
+            B = Mx[np.searchsorted(sids, pdf["vid"].to_numpy())]
             yield pd.DataFrame(
                 {
                     "qid": pdf["qid"],
