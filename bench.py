@@ -33,7 +33,8 @@ HEADLINE = [
     "q_ml_tfidf",        # explode + double agg + broadcast join
     "q_llm_exact_dedup", # sha2 hash dedup
     "q_llm_cosine_topk", # O(N²) vector math (2k×2k at sf0.1)
-    "q_llm_minhash_dedup",  # MinHash LSH similarity join
+    "q_llm_minhash_dedup",  # MinHash LSH similarity join (MLlib)
+    "q_llm_minhash_banded", # hand-rolled banded MinHash + exact verify
     "q_llm_simhash_dedup",  # 64-bit sketch + band join
     "q_llm_ngram_jaccard",  # exact Jaccard via inverted shingle index
     "q_llm_lang_id",        # NB language-ID (profile + score + argmax)

@@ -58,3 +58,70 @@ def minhash_candidate_pairs(docs: DataFrame, *, text_col: str = "text",
         .select(a.alias("doc_a"), b.alias("doc_b"),
                 F.round("jaccard_dist", 4).alias("jaccard_dist"))
     )
+
+
+def minhash_banded_pairs(docs: DataFrame, *, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 5,
+                         num_perm: int = 32, band_rows: int = 2,
+                         max_jaccard_dist: float = 0.6) -> DataFrame:
+    """Hand-rolled banded MinHash near-dup pipeline (no MLlib):
+    shingle sets → num_perm min-hash signature (xxhash64 with per-
+    permutation salts, computed as num_perm codegen'd MIN aggregates)
+    → (num_perm / band_rows) bands → band-bucket self-join for
+    candidates → EXACT Jaccard verification on the candidates only.
+
+    Returns (doc_a, doc_b, jaccard_dist) with exact distances ≤
+    threshold — the candidates-then-verify shape production dedup
+    uses: the sketch bounds the join, the exact check kills false
+    positives. All JVM-side (no Python, no sparse vectors); at scale
+    only 16-byte (band, hash) keys shuffle.
+
+    With band_rows=2, num_perm=32 → 16 bands: P(candidate) =
+    1−(1−s²)¹⁶ ≈ 0.94 at s=0.4 — recall comparable to MLlib's
+    5-table OR while verification stays exact.
+    """
+    n_bands = num_perm // band_rows
+    sh = (
+        docs.select(id_col, tokens(text_col).alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(id_col, F.explode(F.array_distinct(shingles(F.col("toks"), k))).alias("sh"))
+    )
+    sig = sh.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.concat(F.lit(f"p{i}#"), F.col("sh")))).alias(f"m{i}")
+          for i in range(num_perm)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"m{b * band_rows + r}") for r in range(band_rows)]).alias("bh"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bv")).select(
+        id_col, "bv.band", "bv.bh"
+    )
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("shb"))
+    inter = (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(F.col("sha") == F.col("shb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    jd = 1 - F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(na), "doc_a").join(F.broadcast(nb), "doc_b")
+        .filter(jd <= max_jaccard_dist)
+        .select("doc_a", "doc_b", F.round(jd, 4).alias("jaccard_dist"))
+    )

@@ -324,3 +324,14 @@ def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         F.round(F.col("n_chars").cast("double") / F.size(bpe), 6).alias("chars_per_token"),
     )
+
+
+@register("q_llm_minhash_banded")  # rows-only: xxhash64 salts are engine-specific
+def q_llm_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled banded MinHash + exact-Jaccard verification — the
+    no-MLlib, all-codegen alternative to q_llm_minhash_dedup (see
+    operators/dedup.minhash_banded_pairs); crafted-near-dup recall and
+    exact-pair agreement asserted in tests/test_ml.py."""
+    from ..operators.dedup import minhash_banded_pairs
+
+    return minhash_banded_pairs(load_table(spark, sf_dir, "documents"))

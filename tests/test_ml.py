@@ -295,3 +295,41 @@ def test_approx_quantiles_error_bound(spark, sf_dir, duck):
     for s in exact.index:
         for c in ("p50", "p90", "p99"):
             assert abs(got.loc[s, c] - exact.loc[s, c]) / exact.loc[s, c] < 0.02
+
+
+def test_minhash_banded_agrees_with_exact_jaccard(spark, sf_dir):
+    """Banded-MinHash output must (a) report EXACT distances for the
+    pairs it emits (subset of the exact-Jaccard pair list) and
+    (b) recover ≥80% of strong pairs (sim ≥ 0.5)."""
+    exact = Q["q_llm_ngram_jaccard"](spark, sf_dir).toPandas()
+    banded = Q["q_llm_minhash_banded"](spark, sf_dir).toPandas()
+    exact_map = {
+        tuple(sorted((a, b))): j
+        for a, b, j in zip(exact["doc_a"], exact["doc_b"], exact["jaccard"])
+    }
+    for _, r in banded.iterrows():
+        key = tuple(sorted((r["doc_a"], r["doc_b"])))
+        assert key in exact_map, f"banded emitted non-candidate pair {key}"
+        assert abs((1 - r["jaccard_dist"]) - exact_map[key]) < 1e-3
+    strong = {k for k, j in exact_map.items() if j >= 0.5}
+    if strong:
+        found = {tuple(sorted((a, b))) for a, b in zip(banded["doc_a"], banded["doc_b"])}
+        assert len(strong & found) / len(strong) >= 0.8
+
+
+def test_minhash_banded_crafted_near_dups(spark):
+    from sparkit_learn_spark.operators.dedup import minhash_banded_pairs
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango "
+            "uniform victor whiskey xray yankee zulu one two three four")
+    toks = base.split(" ")
+    near = " ".join(toks[:-1] + ["changed"])
+    other = " ".join(reversed([t + "q" for t in toks]))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], schema="doc_id long, text string"
+    )
+    pairs = minhash_banded_pairs(docs).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 2) in found
+    assert not any(3 in p for p in found)
