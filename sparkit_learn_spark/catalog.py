@@ -41,3 +41,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for spark.sql queries)."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """SQL entry point: run an arbitrary Spark SQL query against the
+    fixture tables (all 10 registered as temp views first). Spark SQL
+    *is* the engine's parser/planner — this is the thinnest possible
+    facade over it."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

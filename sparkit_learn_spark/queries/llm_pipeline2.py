@@ -229,6 +229,10 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     table would be a fixed dimension input."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
+    # dt and lt are independent aggregations over the same exploded
+    # lineage; Spark recomputes the (cheap, columnar) scan per branch.
+    # At 100 TB persist `toks` instead — a shared 3-key pre-aggregate
+    # was measured SLOWER here (recomputed per branch + extra shuffle).
     dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     lt = toks.groupBy("lang", "term").agg(F.count("*").alias("c"))
     langs = d.groupBy("lang").agg(F.count("*").alias("n_docs"))

@@ -100,3 +100,19 @@ def test_generic_asof_join_matches_query_form(spark, sf_dir):
     from sparkit_learn_spark.testing import compare_frames
 
     compare_frames(got, expect, name="generic_asof")
+
+
+def test_sql_entry_point(spark, sf_dir):
+    from sparkit_learn_spark.catalog import sql
+
+    df = sql(
+        spark, sf_dir,
+        """
+        SELECT n.n_name, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n_customers DESC LIMIT 3
+        """,
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    assert rows[0]["n_customers"] >= rows[-1]["n_customers"]
