@@ -167,3 +167,38 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .applyInPandas(normalize, schema="event_id long, event_type string, value_norm double")
     )
+
+
+@register(
+    "q_udtf_lateral",
+    oracle="""
+    SELECT o.o_orderkey, t.tier, t.threshold
+    FROM orders o,
+         (VALUES ('high', 300000.0), ('mid', 100000.0), ('low', 0.0))
+           AS t(tier, threshold)
+    WHERE o.o_totalprice >= t.threshold
+    """,
+)
+def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF (Spark 4 @udtf): one input row -> N output
+    rows (every price tier the order qualifies for), applied laterally
+    in SQL. Completes the UDF family alongside scalar/pandas/grouped
+    forms; row-at-a-time Python, so inventory coverage — a production
+    explode would be the built-in generator (q_array_explode)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tier string, threshold double")
+    class TierExplode:
+        def eval(self, price: float):
+            for tier, threshold in (("high", 300000.0), ("mid", 100000.0), ("low", 0.0)):
+                if price >= threshold:
+                    yield tier, threshold
+
+    spark.udtf.register("tier_explode", TierExplode)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.tier, t.threshold
+        FROM orders o, LATERAL tier_explode(o.o_totalprice) AS t
+        """
+    )
