@@ -17,5 +17,6 @@ from . import scalar_funcs  # noqa: F401
 from . import scans  # noqa: F401
 from . import sorts_setops  # noqa: F401
 from . import streaming_batch  # noqa: F401
+from . import subqueries  # noqa: F401
 from . import udfs  # noqa: F401
 from . import windows  # noqa: F401

@@ -278,3 +278,30 @@ def q_agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("q")[1], 2).alias("p90"),
         F.round(F.col("q")[2], 2).alias("p99"),
     )
+
+
+@register(
+    "q_agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts by priority (rows) × status (columns).
+    Explicit pivot values keep it a single-pass aggregate (omitting
+    them would add a distinct-values job); missing cells are 0 via
+    coalesce to match the FILTER-count oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside Pivot
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in ("F", "O", "P")],
+    )

@@ -1,0 +1,66 @@
+"""Subquery operators (q_sub_*) — correlated scalar and IN/EXISTS
+subqueries via Spark SQL.
+
+The interesting part is what Catalyst does underneath: correlated
+subqueries are DECORRELATED into joins (scalar -> left outer
+aggregate join, IN -> left semi), so the executed plan scales like
+the equivalent join — no per-row subquery execution ever happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register(
+    "q_sub_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey) AS BIGINT) AS n_items
+    FROM orders o
+    WHERE o_totalprice > 400000
+    """,
+)
+def q_sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-order lineitem count) —
+    decorrelated by Catalyst into an aggregate + left outer join."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey) AS BIGINT) AS n_items
+        FROM orders o
+        WHERE o_totalprice > 400000
+        """
+    )
+
+
+@register(
+    "q_sub_in",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+    """,
+)
+def q_sub_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery (parts ever shipped at max quantity) — planned as a
+    left semi join after rewrite."""
+    _views(spark, sf_dir, "part", "lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+        """
+    )
