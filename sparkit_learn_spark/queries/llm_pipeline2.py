@@ -339,3 +339,56 @@ def q_llm_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_banded_pairs
 
     return minhash_banded_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_llm_edit_distance",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+    s AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS sh
+      FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+      WHERE len(toks) >= 5
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+    FROM cands c
+    JOIN documents ta ON ta.doc_id = c.doc_a
+    JOIN documents tb ON tb.doc_id = c.doc_b
+    """,
+)
+def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification layer of the dedup funnel:
+    levenshtein over CANDIDATE pairs only (pairs sharing ≥1 shingle —
+    the inverted-index pruning), never all pairs: O(len²) per pair
+    makes unpruned levenshtein the most expensive dedup check, so it
+    runs last in the funnel (hash → sketch → jaccard → edit distance)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 5))).alias("sh"))
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cands = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        cands.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("long").alias("edit_dist"),
+        )
+    )

@@ -130,3 +130,36 @@ def q_proj_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("tier"),
     )
+
+
+@register(
+    "q_filter_null_safe",
+    oracle="""
+    WITH lo AS (
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice >= 200000 THEN o_orderpriority END AS pri_hi
+      FROM orders
+    )
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b, a.pri_hi
+    FROM lo a JOIN lo b
+      ON a.pri_hi IS NOT DISTINCT FROM b.pri_hi
+     AND a.o_orderkey = b.o_orderkey - 1
+    """,
+)
+def q_filter_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM): NULL <=> NULL
+    is TRUE, so rows whose derived key is NULL still join — the
+    semantics a plain equi-join silently drops. Exercised as a
+    self-join on a nullable derived column."""
+    o = load_table(spark, sf_dir, "orders")
+    lo = o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 200000, F.col("o_orderpriority")).alias("pri_hi"),
+    )
+    a = lo.select(F.col("o_orderkey").alias("key_a"), F.col("pri_hi"))
+    b = lo.select(F.col("o_orderkey").alias("key_b"), F.col("pri_hi").alias("pri_b"))
+    return (
+        a.join(b, a.pri_hi.eqNullSafe(F.col("pri_b"))
+               & (F.col("key_a") == F.col("key_b") - 1))
+        .select("key_a", "key_b", "pri_hi")
+    )
