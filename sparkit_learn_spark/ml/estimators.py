@@ -487,7 +487,12 @@ class SparkGridSearchCV(SparkBaseEstimator):
             ({p.name: v for p, v in g.items()}, float(m))
             for g, m in zip(grid, model.avgMetrics)
         ]
-        best_idx = int(np.argmax(model.avgMetrics))
+        # MLlib minimizes when isLargerBetter() is False (e.g. RMSE):
+        # best_params_ must agree with model.bestModel that predict() uses
+        if self.evaluator.isLargerBetter():
+            best_idx = int(np.argmax(model.avgMetrics))
+        else:
+            best_idx = int(np.argmin(model.avgMetrics))
         self.best_params_ = self.cv_results_[best_idx][0]
         return self
 

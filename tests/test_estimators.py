@@ -152,6 +152,34 @@ def test_grid_search_cv(vec):
     gs.fit(vec)
     assert gs.best_params_["regParam"] in (0.01, 0.5)
     assert len(gs.cv_results_) == 2
+    # best_params_ must agree with the model MLlib selected (argmax
+    # here — AUC is larger-better); loss metrics take the argmin branch
+    assert gs.best_params_["regParam"] == gs.model_.bestModel.getRegParam()
+
+
+def test_grid_search_cv_loss_metric(spark, sf_dir):
+    """RegressionEvaluator/RMSE is smaller-better: best_params_ must
+    pick the argmin grid point, matching model.bestModel."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.regression import LinearRegression
+
+    ev = load_table(spark, sf_dir, "events").limit(400)
+    from pyspark.ml.feature import VectorAssembler
+
+    data = VectorAssembler(
+        inputCols=["user_id"], outputCol="features"
+    ).transform(ev.select("user_id", F.col("value").alias("label")))
+    gs = SparkGridSearchCV(
+        estimator=LinearRegression(maxIter=10),
+        param_grid={"regParam": [0.0, 100.0]},
+        evaluator=RegressionEvaluator(metricName="rmse"),
+        numFolds=2,
+    )
+    gs.fit(data)
+    assert gs.best_params_["regParam"] == gs.model_.bestModel.getRegParam()
+    # and it is the grid point with the SMALLER rmse
+    best_rmse = dict((p["regParam"], m) for p, m in gs.cv_results_)
+    assert best_rmse[gs.best_params_["regParam"]] == min(best_rmse.values())
 
 
 def test_dict_vectorizer_on_props(spark, sf_dir):

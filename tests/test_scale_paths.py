@@ -57,6 +57,32 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert a == b
 
 
+def test_salted_join_rejects_right_outer(spark, sf_dir):
+    """right/full outer would emit n_salts duplicate null-extended rows
+    per unmatched small-side row — must raise, not silently corrupt."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "user_id"
+    )
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(ev, cust, "user_id", how=how)
+
+
+def test_salted_join_deterministic_salt(spark, sf_dir):
+    """The salt is derived (xxhash64), not random: two evaluations of
+    the salted large side must agree row-for-row (task-retry safety)."""
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    salted = ev.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in ev.columns], F.lit(42)),
+               F.lit(8)).cast("int"),
+    )
+    a = sorted(tuple(r) for r in salted.collect())
+    b = sorted(tuple(r) for r in salted.collect())
+    assert a == b
+
+
 @pytest.mark.parametrize("fmt", ["csv", "json"])
 def test_alternate_source_formats_roundtrip(spark, sf_dir, tmp_path, fmt):
     """The engine reads more than parquet: CSV (header+schema) and
