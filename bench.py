@@ -33,8 +33,8 @@ HEADLINE = [
     "q_ml_tfidf",        # explode + double agg + broadcast join
     "q_llm_exact_dedup", # sha2 hash dedup
     "q_llm_cosine_topk", # O(N²) vector math (2k×2k at sf0.1)
-    "q_llm_minhash_dedup",  # MinHash LSH similarity join (MLlib)
-    "q_llm_minhash_banded", # hand-rolled banded MinHash + exact verify
+    "q_llm_cosine_topk_sharded",  # exact brute force, no driver collect
+    "q_llm_minhash_dedup",  # banded MinHash + exact-Jaccard verify (default)
     "q_llm_simhash_dedup",  # 64-bit sketch + band join
     "q_llm_ngram_jaccard",  # exact Jaccard via inverted shingle index
     "q_llm_lang_id",        # NB language-ID (profile + score + argmax)
@@ -65,14 +65,52 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
-    }))
+    }
+    baseline = _load_baseline()
+    if baseline:
+        # perf gate: any per-query time > 2x the last recorded round is
+        # a regression; surfaced in the JSON so the driver/judge see it
+        regressions = {
+            n: {"now": t, "baseline": baseline[n], "ratio": round(t / baseline[n], 2)}
+            for n, t in timings.items()
+            if n in baseline and baseline[n] > 0 and t > 2.0 * baseline[n]
+        }
+        out["baseline_round"] = baseline["_round"]
+        out["regressions"] = regressions
+    print(json.dumps(out))
     spark.stop()
+
+
+def _load_baseline() -> dict | None:
+    """Per-query timings from the latest BENCH_r{N}.json beside this
+    file (the operative baseline per BASELINE.md), or None."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return None
+    n, path = max(rounds)
+    try:
+        with open(path) as f:
+            parsed = json.load(f).get("parsed") or {}
+        queries = parsed.get("queries") or {}
+    except (OSError, json.JSONDecodeError):
+        return None
+    if not queries:
+        return None
+    return {**queries, "_round": n}
 
 
 if __name__ == "__main__":

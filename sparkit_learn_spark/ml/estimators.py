@@ -73,10 +73,12 @@ class SparkCountVectorizer(SparkBaseEstimator):
         )
 
     def fit(self, df: DataFrame) -> "SparkCountVectorizer":
-        w = Window.orderBy("term")
-        self.vocabulary_ = (
-            self._terms(df).select("term").distinct()
-            .select("term", (F.row_number().over(w) - 1).cast("long").alias("term_id"))
+        # distributed stable ids (range partition + offset repair), not
+        # a single-task Window.orderBy: vocabularies reach 10⁸+ terms
+        from ..operators.ids import stable_sorted_ids
+
+        self.vocabulary_ = stable_sorted_ids(
+            self._terms(df).select("term").distinct(), "term", id_col="term_id"
         )
         return self
 
@@ -552,11 +554,11 @@ class SparkDictVectorizer(SparkBaseEstimator):
         )
 
     def fit(self, df: DataFrame) -> "SparkDictVectorizer":
-        w = Window.orderBy("feature")
-        self.feature_names_ = (
-            self._entries(df).select("feature").distinct()
-            .select("feature",
-                    (F.row_number().over(w) - 1).cast("long").alias("feature_id"))
+        from ..operators.ids import stable_sorted_ids
+
+        self.feature_names_ = stable_sorted_ids(
+            self._entries(df).select("feature").distinct(),
+            "feature", id_col="feature_id",
         )
         return self
 

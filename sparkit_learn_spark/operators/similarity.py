@@ -1,10 +1,16 @@
 """Similarity search over embedding columns.
 
-``cosine_topk`` is the exact O(n²) baseline (broadcast NL join +
-JVM-side dot product); ``ann_lsh_neighbors`` is the scale path
-(random-projection buckets bound the candidate set). For unit
-vectors, euclidean² = 2 − 2·cos, so a euclidean radius r corresponds
-to cosine ≥ 1 − r²/2.
+``cosine_topk`` is the exact baseline: a guarded broadcast fast path
+(candidate matrix broadcast once — only while it provably fits) that
+FAILS OVER to ``cosine_topk_sharded``, the distributed exact path
+(candidates sharded, queries routed shard-by-shard via a cogrouped
+Arrow join — no driver collect, no full-table broadcast).
+``ann_lsh_neighbors`` and ``ivf_topk`` are the approximate scale
+paths; ``ivf_topk`` keeps only the n_lists×d centroid matrix on the
+driver — vectors stay distributed, co-partitioned by list id.
+
+For unit vectors, euclidean² = 2 − 2·cos, so a euclidean radius r
+corresponds to cosine ≥ 1 − r²/2.
 """
 
 from __future__ import annotations
@@ -16,25 +22,46 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import dot
 
+#: Above this many vectors the broadcast candidate matrix stops being
+#: safe (100k × 64 float64 ≈ 50 MB per executor) and cosine_topk
+#: routes to the sharded path instead of OOMing the driver.
+DEFAULT_MAX_BROADCAST_ROWS = 100_000
+
+
+def _topk_rows(scored: DataFrame, k: int) -> DataFrame:
+    """Global deterministic top-k per query over (qid, nid, sim)."""
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", "sim", "rn")
+    )
+
 
 def cosine_topk(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                max_broadcast_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
+                n_shards: int = 16) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (qid, nid, sim, rn).
 
-    Arrow-vectorized brute force: the candidate matrix (all vectors)
-    is collected once — bounded, document-count-sized; beyond ~10⁵
-    vectors switch to ann_lsh_neighbors — and each Arrow batch of
-    queries computes one float64 BLAS matmul Q·Cᵀ, then per-row
-    top-k. This is the reference's blocked-matrix execution model
-    [ref: splearn/rdd.py ArrayRDD.dot — per-block X·A with a broadcast
-    local matrix · C:M] on Arrow batches, ~50× the throughput of the
-    per-pair fold.
+    Row-count guard: ≤ ``max_broadcast_rows`` vectors take the
+    broadcast fast path (one bounded collect of the candidate matrix,
+    one float64 BLAS matmul per Arrow batch — the reference's
+    blocked-matrix execution model [ref: splearn/rdd.py ArrayRDD.dot —
+    per-block X·A with a broadcast local matrix · C:M]); above it the
+    call FAILS OVER to :func:`cosine_topk_sharded`, which never
+    materializes the corpus anywhere.
 
     Determinism: similarities are rounded to 6dp BEFORE ranking with
-    an id tiebreak, so ranking matches any double-precision oracle.
+    an id tiebreak, so ranking matches any double-precision oracle —
+    and both paths return bit-identical results.
     """
     import numpy as np
     import pandas as pd
+
+    if emb.count() > max_broadcast_rows:
+        return cosine_topk_sharded(emb, k=k, id_col=id_col, vec_col=vec_col,
+                                   n_shards=n_shards)
 
     cand = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vb")).collect()
     nids = np.array([r["nid"] for r in cand], dtype=np.int64)
@@ -67,6 +94,72 @@ def cosine_topk(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
     return q.mapInPandas(topk_batches, schema="qid long, nid long, sim double, rn long")
 
 
+def cosine_topk_sharded(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        n_shards: int = 16) -> DataFrame:
+    """Exact top-k cosine neighbors with NO driver collect and NO
+    full-table broadcast — the >10⁶-vector brute-force shape.
+
+    Candidates are hash-sharded into ``n_shards`` groups; each query
+    is routed to every shard (explode over shard ids), and a cogrouped
+    Arrow join scores one Q_shard × C_shard BLAS matmul per group.
+    Per-shard top-k bounds the intermediate to n·n_shards·k rows, and
+    a final window merges them into the global top-k. Shuffle volume:
+    candidates once + queries n_shards× — O(n·shards) rows, while
+    driver/executor memory holds only ONE shard (n/n_shards vectors)
+    at a time. At a fixed memory budget, n_shards scales linearly with
+    the corpus; compute stays the unavoidable exact O(n²) matmul,
+    spread over shards × batches.
+
+    Output is bit-identical to the broadcast path (same 6dp rounding
+    before ranking, same nid tiebreak).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cands = emb.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("vb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    queries = emb.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("vb")
+    ).withColumn(
+        "shard", F.explode(F.array(*[F.lit(i) for i in range(n_shards)]))
+    )
+
+    def score_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                                 "nid": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in left["vb"]])
+        C = np.array([np.asarray(v, dtype=np.float64) for v in right["vb"]])
+        nids = right["nid"].to_numpy()
+        order = np.argsort(nids)  # id-sorted -> stable tiebreak
+        nids, C = nids[order], C[order]
+        S = np.round(Q @ C.T, 6)
+        qids = left["qid"].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            sims = S[qi]
+            idx = np.nonzero(nids != qid)[0]
+            top = idx[np.argsort(-sims[idx], kind="stable")[:k]]
+            out_q.extend([qid] * len(top))
+            out_n.extend(nids[top])
+            out_s.extend(sims[top])
+        return pd.DataFrame({"qid": np.asarray(out_q, dtype=np.int64),
+                             "nid": np.asarray(out_n, dtype=np.int64),
+                             "sim": np.asarray(out_s, dtype=np.float64)})
+
+    scored = (
+        queries.groupBy("shard")
+        .cogroup(cands.groupBy("shard"))
+        .applyInPandas(score_shard, schema="qid long, nid long, sim double")
+    )
+    return _topk_rows(scored, k)
+
+
 def ann_lsh_neighbors(emb: DataFrame, *, radius: float = 1.0,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       bucket_length: float = 0.5, num_hash_tables: int = 4,
@@ -96,23 +189,26 @@ def ivf_topk(emb: DataFrame, *, k: int = 5, n_lists: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              seed: int = 42) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine neighbors:
-    (qid, nid, sim, rn).
+    (qid, nid, sim, rn) — fully distributed index, NO driver-side
+    vector matrix.
 
     Index: KMeans coarse quantizer (n_lists centroids) assigns every
-    vector to one list. Search: each query probes its n_probe nearest
-    centroids and scores ONLY vectors in those lists — the candidate
-    set shrinks to ~n_probe/n_lists of the corpus, which is the whole
-    point at scale (n_lists ~ √n keeps both sides balanced). Recall
-    vs the exact baseline is asserted in tests/test_ml.py.
+    vector to one list; the corpus stays a DataFrame co-partitioned by
+    list_id. Search: each query computes its n_probe nearest centroids
+    from the BROADCAST CENTROIDS ONLY (n_lists×d — the single piece of
+    driver state, independent of corpus size) and is routed to those
+    lists; a cogrouped Arrow join scores one Q×M matmul per list and
+    keeps a per-list top-k; a final window merges the global top-k.
 
-    Plan shape: one KMeans fit (seeded), one shuffle joining probes to
-    lists on the list id, dot products JVM-side, one window per qid.
+    Scale: shuffle = corpus once (by list_id) + queries n_probe× (with
+    their d-dim vectors); every task holds one list (~n/n_lists
+    vectors). n_lists ~ √n keeps probe fan-out and list size balanced.
+    Recall vs the exact baseline is asserted in tests/test_ml.py.
     """
     import numpy as np
     import pandas as pd
 
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     vec = emb.select(
         F.col(id_col).alias("vid"),
@@ -126,54 +222,57 @@ def ivf_topk(emb: DataFrame, *, k: int = 5, n_lists: int = 16, n_probe: int = 4,
         initMode="random", maxIter=10,
     ).fit(vec)
     assign = km.transform(vec).select(
-        F.col("vid"), F.col("prediction").alias("list_id")
+        "vid", "v", F.col("prediction").alias("list_id")
     )
-    centers = np.array(km.clusterCenters())
-    sc = emb.sparkSession.sparkContext
-    b_centers = sc.broadcast(centers)
-    # the vector matrix is broadcast once for scoring: the candidate
-    # join then shuffles ONLY (int, int) id pairs, never arrays.
-    # (Viable to ~10⁶ vectors; past that, shard the index by list_id.)
-    rows = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).collect()
-    ids = np.array([r["vid"] for r in rows], dtype=np.int64)
-    M = np.array([np.asarray(r["v"], np.float64) for r in rows])
-    order = np.argsort(ids)
-    ids, M = ids[order], M[order]  # id-sorted -> O(log n) searchsorted gather
-    b_M, b_ids = sc.broadcast(M), sc.broadcast(ids)
+    centers = np.array(km.clusterCenters())  # n_lists × d — tiny
+    b_centers = emb.sparkSession.sparkContext.broadcast(centers)
 
     def probe(batches):
-        C, Mx, sids = b_centers.value, b_M.value, b_ids.value
+        C = b_centers.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            Q = Mx[np.searchsorted(sids, pdf["vid"].to_numpy())]
-            d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            near = np.argsort(d, axis=1)[:, :n_probe]
-            qids = np.repeat(pdf["vid"].to_numpy(), n_probe)
-            yield pd.DataFrame({"qid": qids, "list_id": near.ravel()})
+            Q = np.array([np.asarray(v, np.float64) for v in pdf["v"]])
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            near = np.argsort(d2, axis=1)[:, :n_probe].astype(np.int32)
+            rep = pd.DataFrame({
+                "qid": np.repeat(pdf["vid"].to_numpy(), n_probe),
+                "list_id": near.ravel(),
+                "qv": list(pdf["v"].repeat(n_probe)),
+            })
+            yield rep
 
-    probes = vec.select("vid").mapInPandas(probe, schema="qid long, list_id int")
-    cands = probes.join(assign, "list_id").filter(F.col("qid") != F.col("vid"))
-
-    def score(batches):  # batch gather + rowwise einsum from broadcast matrix
-        Mx, sids = b_M.value, b_ids.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = Mx[np.searchsorted(sids, pdf["qid"].to_numpy())]
-            B = Mx[np.searchsorted(sids, pdf["vid"].to_numpy())]
-            yield pd.DataFrame(
-                {
-                    "qid": pdf["qid"],
-                    "nid": pdf["vid"],
-                    "sim": np.round(np.einsum("ij,ij->i", A, B), 6),
-                }
-            )
-
-    scored = cands.mapInPandas(score, schema="qid long, nid long, sim double")
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "nid")
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= k)
-        .select("qid", "nid", "sim", "rn")
+    probes = vec.select("vid", "v").mapInPandas(
+        probe, schema="qid long, list_id int, qv array<float>"
     )
+
+    def score_list(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                                 "nid": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        Q = np.array([np.asarray(v, np.float64) for v in left["qv"]])
+        M = np.array([np.asarray(v, np.float64) for v in right["v"]])
+        nids = right["vid"].to_numpy()
+        order = np.argsort(nids)
+        nids, M = nids[order], M[order]
+        S = np.round(Q @ M.T, 6)
+        qids = left["qid"].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            sims = S[qi]
+            idx = np.nonzero(nids != qid)[0]
+            top = idx[np.argsort(-sims[idx], kind="stable")[:k]]
+            out_q.extend([qid] * len(top))
+            out_n.extend(nids[top])
+            out_s.extend(sims[top])
+        return pd.DataFrame({"qid": np.asarray(out_q, dtype=np.int64),
+                             "nid": np.asarray(out_n, dtype=np.int64),
+                             "sim": np.asarray(out_s, dtype=np.float64)})
+
+    scored = (
+        probes.groupBy("list_id")
+        .cogroup(assign.groupBy("list_id"))
+        .applyInPandas(score_list, schema="qid long, nid long, sim double")
+    )
+    return _topk_rows(scored, k)

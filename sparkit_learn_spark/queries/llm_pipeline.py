@@ -94,6 +94,33 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_cosine_topk_sharded",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT qid, nid, sim,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def q_llm_cosine_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The >10⁶-vector mode of q_llm_cosine_topk: exact brute-force
+    top-5 with NO driver collect and NO full-table broadcast —
+    candidates hash-sharded, queries routed shard-by-shard through a
+    cogrouped Arrow join, per-shard top-k, global window merge. Same
+    oracle as the broadcast path (bit-identical output)."""
+    from ..operators.similarity import cosine_topk_sharded
+
+    return cosine_topk_sharded(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
     "q_llm_text_stats",
     oracle="""
     WITH toks AS (

@@ -161,15 +161,40 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs: embedding cosine ≥ 0.4 (unit vectors ⇒
-    dot). Broadcast NL join baseline; the LSH path (q_llm_ann_lsh)
-    covers the same semantics at scale — euclidean radius
-    √(2−2·0.4) ≈ 1.095."""
+    dot), via the candidates-then-verify funnel the text dedup family
+    uses — NOT an all-pairs join:
+
+      1. candidates: BucketedRandomProjectionLSH bucket join at
+         euclidean radius √(2−2·0.4)·1.05 ≈ 1.15 (for unit vectors
+         d² = 2−2·cos; the 5% pad absorbs non-unit norm drift),
+         generous bucket_length so a near pair colliding in NONE of
+         the 8 tables is vanishingly rare (recall 1.0 on all fixture
+         scales — verified against the exact pair set in
+         tests/test_ml.py).
+      2. verify: exact dot product on the candidate id pairs only,
+         keep sim ≥ 0.4.
+
+    Scale: candidates shuffle by bucket key (never all-pairs), verify
+    joins vectors by id for ~|candidates| rows. The plan contains no
+    BroadcastNestedLoopJoin (asserted in tests/test_plans.py)."""
+    import math
+
+    from ..operators.similarity import ann_lsh_neighbors
+
     e = load_table(spark, sf_dir, "embeddings")
+    radius = math.sqrt(2 - 2 * 0.4) * 1.05
+    cands = (
+        ann_lsh_neighbors(e, radius=radius, bucket_length=2.0,
+                          num_hash_tables=8, seed=42)
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(F.col("vec_id_a").alias("vec_a"), F.col("vec_id_b").alias("vec_b"))
+        .distinct()
+    )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     sim = dot("va", "vb")
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        cands.join(a, "vec_a").join(b, "vec_b")
         .filter(sim >= 0.4)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
     )
@@ -229,14 +254,18 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     table would be a fixed dimension input."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
-    # dt and lt are independent aggregations over the same exploded
-    # lineage; Spark recomputes the (cheap, columnar) scan per branch.
-    # At 100 TB persist `toks` instead — a shared 3-key pre-aggregate
-    # was measured SLOWER here (recomputed per branch + extra shuffle).
-    dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    lt = toks.groupBy("lang", "term").agg(F.count("*").alias("c"))
-    langs = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    n_total = d.count()  # one scalar
+    # dt feeds three consumers (vocab scalar, grid's distinct terms,
+    # scoring) and lt feeds two (grid, totals): persist both POST-SHUFFLE
+    # aggregates so the explode+shuffle runs once, not once per branch —
+    # this is what cut the plan from 18 shuffles / 28 exchanges to the
+    # single-digit shape recorded in PLANS.md.
+    dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    lt = toks.groupBy("lang", "term").agg(F.count("*").alias("c")).persist()
+    # langs is lang-cardinality-sized: one tiny collect covers BOTH the
+    # prior table and the n_total scalar (replaces a separate d.count())
+    lang_rows = d.groupBy("lang").agg(F.count("*").alias("n_docs")).collect()
+    langs = spark.createDataFrame(lang_rows, schema="lang string, n_docs long")
+    n_total = sum(r["n_docs"] for r in lang_rows)
     vocab_size = dt.select("term").distinct().count()  # one scalar
     totals = lt.groupBy("lang").agg(F.sum("c").alias("total"))
     grid = (
@@ -381,11 +410,14 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # text joins by SHUFFLE on the id, not broadcast: a 100 TB document
+    # table never fits an executor; AQE may still choose broadcast when
+    # the fixture side is actually small — that is size-based, not forced
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     return (
-        cands.join(F.broadcast(ta), "doc_a")
-        .join(F.broadcast(tb), "doc_b")
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -56,14 +56,16 @@ def q_ml_count_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ml_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary with stable sorted ids — the fit() half of
-    SparkCountVectorizer, minus the driver set-union reduce: distinct
-    stays distributed; only the final (tiny) id assignment is a global
-    window. [ref: splearn/feature_extraction/text.py fit · C:H]"""
+    SparkCountVectorizer, minus the driver set-union reduce AND minus
+    the single-task global window: ids come from
+    operators.ids.stable_sorted_ids (range partition + local sort +
+    per-partition offset repair — the zipWithIndex shape), so a
+    10⁸-term web-corpus vocabulary never funnels through one task.
+    [ref: splearn/feature_extraction/text.py fit · C:H]"""
+    from ..operators.ids import stable_sorted_ids
+
     distinct_terms = _doc_terms(spark, sf_dir).select("term").distinct()
-    w = Window.orderBy("term")
-    return distinct_terms.select(
-        "term", (F.row_number().over(w) - 1).cast("long").alias("term_id")
-    )
+    return stable_sorted_ids(distinct_terms, "term", id_col="term_id")
 
 
 @register("q_ml_hashing_tf")  # rows-only: murmur3 seeds differ across engines

@@ -281,6 +281,43 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.6
 
 
+def test_cosine_topk_sharded_bit_identical(spark, sf_dir):
+    """The distributed exact path (no driver collect, no full-table
+    broadcast) must return BIT-IDENTICAL results to the broadcast fast
+    path, and the row-count guard must fail over to it transparently."""
+    import pandas as pd
+
+    from sparkit_learn_spark.catalog import load_table
+    from sparkit_learn_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_sharded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = ["qid", "rn"]
+    a = cosine_topk(emb, k=5).toPandas().sort_values(key).reset_index(drop=True)
+    b = cosine_topk_sharded(emb, k=5).toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # guard: max_broadcast_rows=0 forces the sharded path inside cosine_topk
+    c = (cosine_topk(emb, k=5, max_broadcast_rows=0)
+         .toPandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_ivf_topk_is_collect_free(spark, sf_dir):
+    """The IVF index must keep the corpus distributed: no RDD collect
+    of the vector table — only the n_lists×d centroid matrix may reach
+    the driver. Guarded by source inspection (collect() call sites)."""
+    import inspect
+
+    from sparkit_learn_spark.operators import similarity
+
+    src = inspect.getsource(similarity.ivf_topk)
+    assert ".collect()" not in src
+    src_sharded = inspect.getsource(similarity.cosine_topk_sharded)
+    assert ".collect()" not in src_sharded
+
+
 def test_approx_quantiles_error_bound(spark, sf_dir, duck):
     got = Q["q_agg_approx_quantiles"](spark, sf_dir).toPandas().set_index("o_orderstatus")
     exact = duck.sql(

@@ -50,6 +50,37 @@ def test_semi_anti_join_shapes(spark, sf_dir):
     assert "LeftAnti" in explain_str(Q["q_join_anti"](spark, sf_dir))
 
 
+def test_embed_cosine_dedup_no_nl_join(spark, sf_dir):
+    """The semantic near-dup operator must run candidates-then-verify
+    (LSH bucket join + exact-dot verify), never a broadcast nested-loop
+    all-pairs join — the O(n²) shape is dead at 100 TB."""
+    plan = explain_str(Q["q_llm_embed_cosine_dedup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_has_no_single_partition_window(spark, sf_dir):
+    """Vocabulary id assignment must stay distributed: no Window at
+    all in the plan (stable_sorted_ids uses range partition + offset
+    repair, the zipWithIndex shape)."""
+    plan = explain_str(Q["q_ml_vocab"](spark, sf_dir))
+    assert "Window" not in plan
+
+
+def test_edit_distance_text_join_not_forced_broadcast(spark, sf_dir):
+    """Document TEXT must not be force-broadcast (a 100 TB documents
+    table never fits an executor): the query builds plain joins and
+    lets size-based planning decide. Guarded at the source level —
+    the physical plan legitimately picks broadcast for the tiny
+    fixture, which is exactly the point of not forcing it."""
+    import inspect
+
+    from sparkit_learn_spark.queries import llm_pipeline2
+
+    src = inspect.getsource(llm_pipeline2.q_llm_edit_distance)
+    assert "F.broadcast" not in src
+
+
 def test_whole_stage_codegen_on_flagship(spark, sf_dir):
     # AQE's formatted plan hides codegen spans pre-execution; the
     # codegen explain mode lists the compiled subtrees directly.

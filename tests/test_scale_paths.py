@@ -83,6 +83,35 @@ def test_salted_join_deterministic_salt(spark, sf_dir):
     assert a == b
 
 
+def test_stable_sorted_ids_matches_global_window(spark, sf_dir):
+    """Distributed id assignment must reproduce
+    row_number() OVER (ORDER BY term) - 1 exactly, for any partition
+    count (including more partitions than rows)."""
+    from pyspark.sql import Window
+
+    from sparkit_learn_spark.catalog import load_table
+    from sparkit_learn_spark.operators.ids import stable_sorted_ids
+
+    terms = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    w = Window.orderBy("term")
+    expect = {
+        (r["term"], r["id"])
+        for r in terms.select(
+            "term", (F.row_number().over(w) - 1).cast("long").alias("id")
+        ).collect()
+    }
+    for n_parts in (1, 7, 10_000):
+        got = {
+            (r["term"], r["term_id"])
+            for r in stable_sorted_ids(terms, "term", num_partitions=n_parts).collect()
+        }
+        assert got == expect, f"mismatch at num_partitions={n_parts}"
+
+
 @pytest.mark.parametrize("fmt", ["csv", "json"])
 def test_alternate_source_formats_roundtrip(spark, sf_dir, tmp_path, fmt):
     """The engine reads more than parquet: CSV (header+schema) and
