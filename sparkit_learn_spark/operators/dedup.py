@@ -60,6 +60,56 @@ def minhash_candidate_pairs(docs: DataFrame, *, text_col: str = "text",
     )
 
 
+#: Shingles appearing in more documents than this are treated as
+#: boilerplate and excluded from CANDIDATE GENERATION (never from
+#: verification): one viral shingle ("all rights reserved...") would
+#: otherwise create a quadratic candidate bucket. Far above any
+#: fixture's max shingle doc-frequency (4 at sf0.1), so fixture
+#: results are byte-identical with or without the cap.
+DEFAULT_MAX_SHINGLE_DF = 100
+
+
+def shingle_index(docs: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Distinct (id, shingle) inverted-index rows for k-token shingles
+    of documents with ≥ k tokens."""
+    return (
+        docs.select(id_col, tokens(text_col).alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(id_col,
+                F.explode(F.array_distinct(shingles(F.col("toks"), k))).alias("sh"))
+    )
+
+
+def shingle_candidate_pairs(index: DataFrame, *, id_col: str = "doc_id",
+                            max_df: int = DEFAULT_MAX_SHINGLE_DF) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) sharing ≥ 1 NON-VIRAL shingle.
+
+    Shingles with document frequency > ``max_df`` are dropped before
+    the inverted-index self-join — the hot set is tiny at any scale
+    (by definition each member appears in many docs), so it travels as
+    a broadcast anti-join, and the per-bucket join cost is bounded by
+    max_df² per shingle instead of unbounded. Candidates only — exact
+    verification (Jaccard / edit distance) stays the caller's job and
+    runs over the FULL shingle/text data, so the cap can only shrink
+    the candidate set, never corrupt a verified metric.
+    """
+    hot = (
+        index.groupBy("sh").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("sh")
+    )
+    rare = index.join(F.broadcast(hot), "sh", "left_anti")
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_banded_pairs(docs: DataFrame, *, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 5,
                          num_perm: int = 32, band_rows: int = 2,
@@ -81,11 +131,7 @@ def minhash_banded_pairs(docs: DataFrame, *, text_col: str = "text",
     5-table OR while verification stays exact.
     """
     n_bands = num_perm // band_rows
-    sh = (
-        docs.select(id_col, tokens(text_col).alias("toks"))
-        .filter(F.size("toks") >= k)
-        .select(id_col, F.explode(F.array_distinct(shingles(F.col("toks"), k))).alias("sh"))
-    )
+    sh = shingle_index(docs, text_col=text_col, id_col=id_col, k=k)
     sig = sh.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.concat(F.lit(f"p{i}#"), F.col("sh")))).alias(f"m{i}")
           for i in range(num_perm)]

@@ -61,10 +61,16 @@ def stable_sorted_ids(df: DataFrame, col: str, *, id_col: str = "term_id",
         offsets.append((r["_pid"], running, r["_min"]))
         running += r["_cnt"]
     off_df = spark.createDataFrame(offsets, schema="_pid int, _off long, _min long")
-    return (
-        d.join(F.broadcast(off_df), "_pid")
-        .select(
-            col,
-            (F.col("_off") + F.col("_mono") - F.col("_min")).cast("long").alias(id_col),
-        )
+    out = d.join(F.broadcast(off_df), "_pid").select(
+        col,
+        (F.col("_off") + F.col("_mono") - F.col("_min")).cast("long").alias(id_col),
     )
+    # lifecycle: materialize the (col, id) result eagerly (it is the
+    # id-assignment output — one narrow projection, vocab-sized in
+    # practice), then RELEASE the persisted intermediate before
+    # returning so repeated fits don't accumulate cached blocks. The
+    # checkpointed result's storage is reclaimed by Spark's
+    # ContextCleaner once the returned DataFrame is dropped.
+    out = out.localCheckpoint(eager=True)
+    d.unpersist()
+    return out

@@ -59,6 +59,28 @@ def _fake_feature_extract(blob: bytes, dim: int = 16) -> list[float]:
     return out[:dim]
 
 
+def pil_image_decoder() -> Callable[[bytes], dict]:
+    """REAL image decoder built on PIL (Pillow), matching
+    IMAGE_META_SCHEMA — the production ``decoder=`` for
+    :func:`decode_images`. Raises ImportError where Pillow is absent
+    (this container does not ship it; tests importorskip)."""
+    import io
+
+    from PIL import Image  # ImportError here = not available, by design
+
+    def dec(blob: bytes) -> dict:
+        with Image.open(io.BytesIO(blob)) as im:
+            return {
+                "n_bytes": len(blob),
+                "format": (im.format or "unknown").lower(),
+                "width": im.width,
+                "height": im.height,
+                "checksum": hashlib.sha256(blob).hexdigest()[:16],
+            }
+
+    return dec
+
+
 def decode_images(df: DataFrame, *, id_col: str = "item_id",
                   binary_col: str = "data",
                   decoder: Callable[[bytes], dict] | None = None,

@@ -59,7 +59,10 @@ def cosine_topk(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
     import numpy as np
     import pandas as pd
 
-    if emb.count() > max_broadcast_rows:
+    # bounded-scan guard: limit(n+1).count() stops reading after
+    # max_broadcast_rows+1 rows instead of scanning the full lineage
+    # (a full count() would double input reads on the common path)
+    if emb.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
         return cosine_topk_sharded(emb, k=k, id_col=id_col, vec_col=vec_col,
                                    n_shards=n_shards)
 
@@ -96,20 +99,22 @@ def cosine_topk(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
 
 def cosine_topk_sharded(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        n_shards: int = 16) -> DataFrame:
+                        n_shards: int = 16,
+                        n_query_shards: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors with NO driver collect and NO
     full-table broadcast — the >10⁶-vector brute-force shape.
 
-    Candidates are hash-sharded into ``n_shards`` groups; each query
-    is routed to every shard (explode over shard ids), and a cogrouped
-    Arrow join scores one Q_shard × C_shard BLAS matmul per group.
-    Per-shard top-k bounds the intermediate to n·n_shards·k rows, and
-    a final window merges them into the global top-k. Shuffle volume:
-    candidates once + queries n_shards× — O(n·shards) rows, while
-    driver/executor memory holds only ONE shard (n/n_shards vectors)
-    at a time. At a fixed memory budget, n_shards scales linearly with
-    the corpus; compute stays the unavoidable exact O(n²) matmul,
-    spread over shards × batches.
+    BOTH sides are hash-sharded: candidates into ``n_shards`` groups,
+    queries into ``n_query_shards`` (default = n_shards) groups, and
+    every (q_shard, c_shard) grid cell is one cogrouped-Arrow task
+    scoring a Q_cell × C_cell BLAS matmul. Per-task memory is
+    n/n_query_shards + n/n_shards vectors — O(n/shards), NOT the full
+    query set — so at a fixed memory budget both knobs scale linearly
+    with the corpus. Shuffle volume: queries n_shards× + candidates
+    n_query_shards× — O(n·shards) rows each way. Per-cell top-k
+    bounds the intermediate to n·n_shards·k rows; a final window
+    merges the global top-k. Compute stays the unavoidable exact
+    O(n²) matmul, spread over shards² cells.
 
     Output is bit-identical to the broadcast path (same 6dp rounding
     before ranking, same nid tiebreak).
@@ -117,15 +122,20 @@ def cosine_topk_sharded(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
     import numpy as np
     import pandas as pd
 
+    n_qs = n_query_shards or n_shards
     cands = emb.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("vb"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("c_shard"),
+    ).withColumn(
+        "q_shard", F.explode(F.array(*[F.lit(i) for i in range(n_qs)]))
     )
     queries = emb.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("vb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_qs)).cast("int").alias("q_shard"),
     ).withColumn(
-        "shard", F.explode(F.array(*[F.lit(i) for i in range(n_shards)]))
+        "c_shard", F.explode(F.array(*[F.lit(i) for i in range(n_shards)]))
     )
 
     def score_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -153,8 +163,8 @@ def cosine_topk_sharded(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
                              "sim": np.asarray(out_s, dtype=np.float64)})
 
     scored = (
-        queries.groupBy("shard")
-        .cogroup(cands.groupBy("shard"))
+        queries.groupBy("q_shard", "c_shard")
+        .cogroup(cands.groupBy("q_shard", "c_shard"))
         .applyInPandas(score_shard, schema="qid long, nid long, sim double")
     )
     return _topk_rows(scored, k)
@@ -242,8 +252,12 @@ def ivf_topk(emb: DataFrame, *, k: int = 5, n_lists: int = 16, n_probe: int = 4,
             })
             yield rep
 
+    # qv is emitted as array<double>: an upcast is lossless for any
+    # input element type, whereas a hardcoded array<float> would
+    # silently downcast double-typed embeddings and could reorder
+    # top-k vs the exact baseline
     probes = vec.select("vid", "v").mapInPandas(
-        probe, schema="qid long, list_id int, qv array<float>"
+        probe, schema="qid long, list_id int, qv array<double>"
     )
 
     def score_list(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:

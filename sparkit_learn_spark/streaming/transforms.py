@@ -133,6 +133,51 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals via transformWithStateInPandas
+    — Spark 4's successor to applyInPandasWithState (typed state
+    variables, timers, RocksDB-backed state store). State per user is
+    one (n, total) ValueState record; parity with the batch aggregate
+    is asserted in tests/test_streaming.py.
+
+    Requires the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) — the caller/test
+    sets it; the default HDFS-backed provider does not support the
+    transformWithState operator family. Also requires google.protobuf
+    on the Python driver (the operator's state-server protocol);
+    where absent (this container) the parity test skips cleanly and
+    running_user_totals_stream (applyInPandasWithState) is the
+    exercised stateful path.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def running_user_totals_batch(events: DataFrame) -> DataFrame:
     """Batch oracle for the stateful operator: the final state is just
     the per-user aggregate."""

@@ -51,6 +51,32 @@ def test_feature_extraction_feeds_similarity(blobs, spark):
     assert top.groupBy("qid").count().agg(F.max("count")).first()[0] == 2
 
 
+def test_real_pil_decode_when_available(spark):
+    """The decoder= injection point with a REAL library: build genuine
+    PNGs with Pillow, decode them through the unchanged mapInPandas
+    plumbing, and check true dimensions/format come back. Skips
+    cleanly where Pillow is absent (this container)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from sparkit_learn_spark.operators.multimodal import pil_image_decoder
+
+    rows = []
+    for i, (w, h) in enumerate([(32, 16), (64, 64), (128, 8)]):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color=(i, i, i)).save(buf, format="PNG")
+        rows.append((i, buf.getvalue(), w, h))
+    df = spark.createDataFrame(
+        [(i, b) for i, b, _, _ in rows], schema="item_id long, data binary"
+    )
+    got = {r["item_id"]: r for r in
+           decode_images(df, decoder=pil_image_decoder()).collect()}
+    for i, _, w, h in rows:
+        assert (got[i]["width"], got[i]["height"], got[i]["format"]) == (w, h, "png")
+
+
 def test_frame_sampling_explodes(blobs):
     frames = sample_frames(blobs, every_n_bytes=256)
     got = frames.groupBy("item_id").count().orderBy("item_id").collect()

@@ -157,6 +157,79 @@ def test_generic_asof_join_matches_query_form(spark, sf_dir):
     compare_frames(got, expect, name="generic_asof")
 
 
+def test_viral_shingle_does_not_explode_candidates(spark):
+    """A boilerplate shingle shared by EVERY document must not create
+    the quadratic candidate bucket: with the df cap, pairs are only
+    generated from rare shingles, so the crafted corpus below yields
+    exactly the one true near-dup pair, not n·(n-1)/2."""
+    from sparkit_learn_spark.operators.dedup import (
+        shingle_candidate_pairs, shingle_index,
+    )
+
+    boiler = "all rights reserved contact us today"
+    rows = [(i, f"{boiler} unique{i} filler{i} body{i} tail{i} end{i}")
+            for i in range(40)]
+    # one true near-dup pair sharing a RARE 5-gram
+    rows.append((100, "zebra quokka lemur gibbon okapi extra one"))
+    rows.append((101, "zebra quokka lemur gibbon okapi extra two"))
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    idx = shingle_index(docs, k=5)
+    pairs = shingle_candidate_pairs(idx, max_df=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(100, 101)}, got
+    # sanity: without the cap the viral shingle makes ~40²/2 pairs
+    uncapped = shingle_candidate_pairs(idx, max_df=10_000).count()
+    assert uncapped > 700
+
+
+def test_stable_sorted_ids_releases_intermediate_cache(spark, sf_dir):
+    """Each call persists a sorted intermediate; it must be RELEASED
+    before returning (lifecycle bug in round 2: one leaked cached
+    DataFrame per vocab fit). After the call, at most the eagerly
+    checkpointed (col,id) result itself may occupy storage — exactly
+    one new persistent RDD per call, not two."""
+    from sparkit_learn_spark.operators.ids import stable_sorted_ids
+
+    terms = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    out1 = stable_sorted_ids(terms, "term", num_partitions=7)
+    assert jsc.getPersistentRDDs().size() == base + 1
+    out2 = stable_sorted_ids(terms, "term", num_partitions=7)
+    assert jsc.getPersistentRDDs().size() == base + 2
+    assert out1.count() == out2.count()
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_embed_cosine_dedup_recall_is_exact_per_scale(spark, sf):
+    """q_llm_embed_cosine_dedup is LSH-candidates + exact verify: its
+    oracle agreement depends on empirical recall 1.0. Recompute the
+    exact pair set (numpy all-pairs) at each fixture scale and assert
+    set equality — a recall miss at a new scale fails here, loudly."""
+    import numpy as np
+
+    from sparkit_learn_spark.registry import all_queries
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in all_queries()["q_llm_embed_cosine_dedup"](spark, sf).collect()
+    }
+    rows = load_table(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    S = X @ X.T
+    ia, ib = np.nonzero(np.triu(S >= 0.4, k=1))
+    expect = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+        for a, b in zip(ia, ib)
+    }
+    assert got == expect
+
+
 def test_sql_entry_point(spark, sf_dir):
     from sparkit_learn_spark.catalog import sql
 

@@ -129,6 +129,85 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert by_hour.get("2024-01-01 12:00:00") == 2
 
 
+def test_rate_source_smoke(spark):
+    """Beyond the file source: the rate source drives a windowed
+    aggregation end-to-end (readStream → transform → memory sink).
+    Proves the transforms are source-agnostic — a Kafka source plugs
+    into the same pipeline with only the reader swapped."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()  # schema: timestamp timestamp, value long
+        .select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 7).alias("user_id"),
+            (F.col("value") % 100 / 10.0).alias("value"),
+        )
+    )
+    q = (
+        T.tumbling_counts(stream.withWatermark("ts", "10 seconds")
+                          .withColumn("event_type", F.lit("rate")))
+        .writeStream.format("memory")
+        .queryName("mem_rate")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT COALESCE(SUM(n_events),0) AS n FROM mem_rate").first()["n"]
+            if n and n > 0:
+                break
+            time.sleep(1)
+        assert n > 0
+    finally:
+        q.stop()
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir, events_stream, events_batch):
+    """transformWithStateInPandas (Spark 4 typed-state API, RocksDB
+    provider): latest emitted state per user == batch aggregate —
+    the same parity contract as the applyInPandasWithState test.
+    The operator's driver-side worker requires google.protobuf
+    (not shipped in this container) — skip cleanly where absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            T.running_user_totals_tws(events_stream)
+            .writeStream.format("memory")
+            .queryName("mem_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            """
+            SELECT user_id, n_events, sum_value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY n_events DESC) AS rn
+              FROM mem_tws) WHERE rn = 1
+            """
+        ).toPandas()
+        expect = T.running_user_totals_batch(events_batch).toPandas()
+        compare_frames(got, expect, name="transform_with_state")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_stateful_running_totals_matches_batch(spark, sf_dir, events_stream, events_batch):
     """applyInPandasWithState: after consuming the whole stream, the
     latest emitted state per user must equal the batch aggregate."""
