@@ -198,6 +198,36 @@ def q_ml_cv_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="reg_param double, auc double, is_best boolean")
 
 
+@register("q_ml_sgd_partial_fit")  # rows-only: iterative, not SQL-expressible
+def q_ml_sgd_partial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True incremental learning — splearn's per-block partial_fit
+    contract [ref: splearn/linear_model/stochastic_gradient.py · C:H]:
+    the embeddings table is split into two blocks, streamed through
+    SparkSGDClassifier.partial_fit (distributed full-batch gradient
+    steps; only a (dim+1)-vector reaches the driver per step), and the
+    final model is evaluated on the whole table. Output: training
+    confusion counts — same shape as q_ml_logreg for comparison."""
+    from ..ml import SparkSGDClassifier
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("features"),
+        (F.col("label") < 5).cast("double").alias("binlabel"),
+    )
+    clf = SparkSGDClassifier(featuresCol="features", labelCol="binlabel",
+                             lr=0.5, epochs=5)
+    lo = e.filter(F.col("vec_id") % 2 == 0)
+    hi = e.filter(F.col("vec_id") % 2 == 1)
+    for _ in range(3):  # epochs over alternating incremental blocks
+        clf.partial_fit(lo)
+        clf.partial_fit(hi)
+    pred = clf.predict(e)
+    return pred.groupBy(
+        F.col("binlabel").cast("int").alias("label"),
+        F.col("prediction").cast("int").alias("prediction"),
+    ).agg(F.count("*").alias("n"))
+
+
 @register("q_llm_minhash_dedup")  # rows-only: xxhash64 salts are engine-specific
 def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via hand-rolled banded MinHash (the DEFAULT

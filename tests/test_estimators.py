@@ -234,3 +234,84 @@ def test_bernoulli_nb_runs(vec):
     pred = nb.fit(binf).predict(binf)
     acc = pred.filter(F.col("prediction") == F.col("label")).count() / binf.count()
     assert acc >= 0.5
+
+
+def test_sgd_partial_fit_matches_numpy_replica(emb):
+    """SparkSGDClassifier is deterministic full-batch GD: its state
+    after N partial_fit calls must match a numpy replica of the same
+    updates to float-summation tolerance (sklearn-oracle style; exact
+    formula, no solver freedom)."""
+    from sparkit_learn_spark.ml import SparkSGDClassifier
+
+    data = emb.select(
+        F.col("embedding").alias("features"),
+        (F.col("label") < 5).cast("double").alias("y"),
+    )
+    pdf = data.toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["features"]])
+    y = pdf["y"].to_numpy(dtype=np.float64)
+
+    lr, reg, epochs = 0.5, 0.01, 5
+    w, b = np.zeros(X.shape[1]), 0.0
+    for _ in range(epochs):
+        resid = 1.0 / (1.0 + np.exp(-(X @ w + b))) - y
+        w = w - lr * (X.T @ resid / len(y) + reg * w)
+        b = b - lr * resid.mean()
+
+    clf = SparkSGDClassifier(featuresCol="features", labelCol="y",
+                             lr=lr, reg=reg, epochs=epochs)
+    clf.fit(data)
+    assert clf.n_iter_ == epochs
+    np.testing.assert_allclose(clf.coef_, w, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(clf.intercept_, b, rtol=1e-8, atol=1e-10)
+
+
+def test_sgd_partial_fit_is_incremental(emb):
+    """State must carry across partial_fit calls on DIFFERENT blocks
+    (the splearn per-block contract): two blocks streamed sequentially
+    equal the same numpy sequence, and differ from fitting either
+    block alone."""
+    from sparkit_learn_spark.ml import SparkSGDClassifier
+
+    data = emb.select(
+        "vec_id",
+        F.col("embedding").alias("features"),
+        (F.col("label") < 5).cast("double").alias("y"),
+    )
+    lo = data.filter(F.col("vec_id") % 2 == 0)
+    hi = data.filter(F.col("vec_id") % 2 == 1)
+
+    def np_block(df):
+        pdf = df.toPandas()
+        X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["features"]])
+        return X, pdf["y"].to_numpy(dtype=np.float64)
+
+    (Xa, ya), (Xb, yb) = np_block(lo), np_block(hi)
+    w, b = np.zeros(Xa.shape[1]), 0.0
+    for X, y in ((Xa, ya), (Xb, yb), (Xa, ya)):
+        resid = 1.0 / (1.0 + np.exp(-(X @ w + b))) - y
+        w = w - 0.5 * (X.T @ resid / len(y))
+        b = b - 0.5 * resid.mean()
+
+    clf = SparkSGDClassifier(featuresCol="features", labelCol="y", lr=0.5)
+    clf.partial_fit(lo).partial_fit(hi).partial_fit(lo)
+    assert clf.n_iter_ == 3
+    np.testing.assert_allclose(clf.coef_, w, rtol=1e-8, atol=1e-10)
+
+    solo = SparkSGDClassifier(featuresCol="features", labelCol="y", lr=0.5)
+    solo.partial_fit(lo)
+    assert not np.allclose(solo.coef_, clf.coef_)
+
+
+def test_sgd_predict_accuracy(emb):
+    from sparkit_learn_spark.ml import SparkSGDClassifier
+
+    data = emb.select(
+        F.col("embedding").alias("features"),
+        (F.col("label") < 5).cast("double").alias("y"),
+    )
+    clf = SparkSGDClassifier(featuresCol="features", labelCol="y",
+                             lr=1.0, epochs=30)
+    pred = clf.fit(data).predict(data)
+    acc = pred.filter(F.col("prediction") == F.col("y")).count() / data.count()
+    assert acc >= 0.6
