@@ -39,6 +39,7 @@ HEADLINE = [
     "q_llm_ngram_jaccard",  # exact Jaccard via inverted shingle index
     "q_llm_lang_id",        # NB language-ID (profile + score + argmax)
     "q_llm_ann_ivf",        # IVF approximate neighbors
+    "q_llm_bm25_topk",      # BM25 retrieval scoring + top-k
 ]
 
 

@@ -112,10 +112,11 @@ def test_stable_sorted_ids_matches_global_window(spark, sf_dir):
         assert got == expect, f"mismatch at num_partitions={n_parts}"
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
 def test_alternate_source_formats_roundtrip(spark, sf_dir, tmp_path, fmt):
-    """The engine reads more than parquet: CSV (header+schema) and
-    JSON lines roundtrip the orders table bit-for-bit on key columns."""
+    """The engine reads more than parquet: CSV (header+schema), JSON
+    lines, and ORC (columnar, predicate-pushdown-capable) roundtrip
+    the orders table bit-for-bit on key columns."""
     out = str(tmp_path / f"orders_{fmt}")
     df = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
