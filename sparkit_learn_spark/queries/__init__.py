@@ -9,6 +9,7 @@ from . import joins  # noqa: F401
 from . import llm_pipeline  # noqa: F401
 from . import llm_pipeline2  # noqa: F401
 from . import llm_pipeline3  # noqa: F401
+from . import llm_pipeline4  # noqa: F401
 from . import ml_mllib  # noqa: F401
 from . import ml_stats  # noqa: F401
 from . import ml_text  # noqa: F401

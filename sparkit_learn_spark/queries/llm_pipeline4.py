@@ -1,0 +1,191 @@
+"""LLM-pipeline wave 4: corpus hygiene — benchmark decontamination,
+intra-document repetition scoring, PII redaction, domain-mixture
+accounting. The filter/audit passes that run between dedup and
+training. All exactly DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import shingles, tokens
+from ..registry import register
+
+#: The held-out source treated as the evaluation/benchmark set by
+#: q_llm_decontaminate (pinned for the fixture; a real pipeline takes
+#: the benchmark table as a second input).
+BENCH_SOURCE = "src0"
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+
+@register(
+    "q_llm_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    s AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS sh
+      FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+      WHERE len(toks) >= 5
+    ),
+    bench AS (SELECT DISTINCT sh, doc_id AS bench_id FROM s
+              WHERE source = '{BENCH_SOURCE}'),
+    train AS (SELECT doc_id, sh FROM s WHERE source <> '{BENCH_SOURCE}')
+    SELECT train.doc_id,
+           CAST(COUNT(DISTINCT train.sh) AS BIGINT) AS n_overlap_shingles,
+           CAST(COUNT(DISTINCT bench.bench_id) AS BIGINT) AS n_bench_docs
+    FROM train JOIN bench ON train.sh = bench.sh
+    GROUP BY 1
+    """,
+)
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training document, count
+    5-gram shingles it shares with the held-out benchmark source and
+    how many benchmark docs it hits — the contamination report a
+    pipeline uses to drop eval-overlapping training data.
+
+    Scale: the benchmark side is tiny relative to a 100 TB train
+    corpus (eval sets are fixed-size), so its distinct-shingle index
+    is BROADCAST — the train side joins without any shuffle of the
+    corpus; the only aggregation keys on (train doc, shingle), which
+    the contamination hits bound."""
+    d = load_table(spark, sf_dir, "documents")
+    s = (
+        d.select("doc_id", "source", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select(
+            "doc_id", "source",
+            F.explode(F.array_distinct(shingles(F.col("toks"), 5))).alias("sh"),
+        )
+    )
+    bench = (
+        s.filter(F.col("source") == BENCH_SOURCE)
+        .select("sh", F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    train = s.filter(F.col("source") != BENCH_SOURCE).select("doc_id", "sh")
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_overlap_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+@register(
+    "q_llm_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS sh
+      FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 3
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct,
+           ROUND(1 - CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*), 6) AS rep_frac
+    FROM s GROUP BY 1
+    """,
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score: fraction of 3-gram windows
+    that are duplicates of an earlier window in the SAME document
+    (1 − distinct/total) — the Gopher-style repetition filter that
+    catches boilerplate loops and degenerate generations.
+
+    Scale: explode + one aggregation keyed by doc_id; windows per doc
+    are bounded by doc length, so no key can exceed a single
+    document's size — skew-free by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    s = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(shingles(F.col("toks"), 3)).alias("sh"))
+    )
+    return s.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.countDistinct("sh").alias("n_distinct"),
+        F.round(
+            1 - F.countDistinct("sh").cast("double") / F.count("*"), 6
+        ).alias("rep_frac"),
+    )
+
+
+@register(
+    "q_llm_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(text,
+                '{EMAIL_RE}', '<EMAIL>', 'g'),
+                '{PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+    FROM documents
+    """,
+)
+def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email addresses and
+    phone-number patterns (regex classes chosen to behave identically
+    under Java regex and RE2). The synthetic fixture contains no PII
+    (all counts 0 — the oracle still pins the expressions); crafted
+    inputs with real matches are value-checked in
+    tests/test_llm_pipeline.py.
+
+    Scale: row-local regexp built-ins, zero shuffles, column-pruned
+    scan."""
+    d = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0))
+        .cast("long").alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+@register(
+    "q_llm_domain_mix",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
+             AS token_share
+    FROM s
+    """,
+)
+def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture accounting: per-source document and token
+    counts plus each source's share of total tokens — the table a
+    data-mixing policy (e.g. up/down-weighting domains) is computed
+    from.
+
+    Scale: one distributed aggregation to source cardinality; the
+    share window then runs over the POST-AGGREGATE frame (rows =
+    distinct sources, a constant — the single-partition window is on
+    a dimension-sized frame, never the data)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(
+        Window.partitionBy()
+    )
+    return s.select("source", "n_docs", "n_tokens",
+                    F.round(share, 6).alias("token_share"))

@@ -1,0 +1,78 @@
+"""Value checks for the corpus-hygiene operators on CRAFTED inputs —
+the fixture corpus is synthetic clean text, so real matches (PII,
+contamination, repetition) only occur in rows built here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkit_learn_spark.queries.llm_pipeline4 import EMAIL_RE, PHONE_RE
+
+
+def test_pii_redaction_on_crafted_rows(spark):
+    rows = [
+        (1, "contact me at alice.smith+x@example.co.uk or 555-123-4567 ok"),
+        (2, "no pii here at all just words"),
+        (3, "two mails a@b.io c@d.org and 021-5555-0199"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+            F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0)).alias("n_phones"),
+            redacted.alias("red"),
+        ).collect()
+    }
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 1)
+    assert out[1]["red"] == "contact me at <EMAIL> or <PHONE> ok"
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
+    assert (out[3]["n_emails"], out[3]["n_phones"]) == (2, 1)
+    assert out[3]["red"] == "two mails <EMAIL> <EMAIL> and <PHONE>"
+
+
+def test_decontaminate_flags_overlap(spark, monkeypatch, tmp_path):
+    """A train doc sharing a 5-gram with the benchmark source is
+    reported with the right shingle and bench-doc counts; clean train
+    docs are absent."""
+    import sparkit_learn_spark.queries.llm_pipeline4 as P
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (0, bench_text, "en", "src0", len(bench_text)),
+        # shares the 5-gram "alpha beta gamma delta epsilon"
+        (1, "alpha beta gamma delta epsilon other words here", "en", "src1", 48),
+        (2, "completely different content with no overlap at all", "en", "src1", 51),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    got = {r["doc_id"]: r for r in P.q_llm_decontaminate(spark, str(tmp_path)).collect()}
+    assert set(got) == {1}
+    # the only shared 5-gram is "alpha beta gamma delta epsilon"
+    assert got[1]["n_overlap_shingles"] == 1
+    assert got[1]["n_bench_docs"] == 1
+
+
+def test_repetition_scores_degenerate_doc(spark, tmp_path):
+    import sparkit_learn_spark.queries.llm_pipeline4 as P
+
+    rows = [
+        (1, "spam spam spam spam spam spam", "en", "src1", 29),  # 4 windows, 1 distinct
+        (2, "one two three four five six", "en", "src1", 27),    # all distinct
+    ]
+    df = spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in P.q_llm_repetition(spark, str(tmp_path)).collect()}
+    assert (got[1]["n_windows"], got[1]["n_distinct"]) == (4, 1)
+    assert got[1]["rep_frac"] == 0.75
+    assert got[2]["rep_frac"] == 0.0
