@@ -155,3 +155,33 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         load_table(spark, sf_dir, "customer"),
     )
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (batch form): each purchase matched
+    to the same user's clicks in the preceding hour. In streaming both
+    sides carry watermarks and the interval bounds join state to the
+    watermark horizon per side (parity asserted in
+    tests/test_streaming.py::test_stream_stream_interval_join_parity)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return T.purchase_click_interval_join(p, c)

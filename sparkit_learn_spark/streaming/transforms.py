@@ -133,6 +133,33 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_click_interval_join(purchases: DataFrame,
+                                 clicks: DataFrame) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition: each
+    purchase matched to the same user's clicks in the preceding hour.
+
+    Streaming semantics: BOTH sides need watermarks (the caller
+    applies them) — the interval condition lets Spark bound the join
+    state to [watermark − 1h, now] per side, so state is
+    O(events-in-window), not the full history. Batch semantics:
+    identical expression, complete answer (the parity contract).
+    Column names are disjoint by construction (click side renamed) so
+    batch and stream plans are the same shape.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return purchases.join(
+        c,
+        (purchases.user_id == c.click_user)
+        & (c.click_ts >= purchases.ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.click_ts < purchases.ts),
+        "inner",
+    ).select("event_id", "user_id", "ts", "click_id", "click_ts")
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """The same per-user running totals via transformWithStateInPandas
     — Spark 4's successor to applyInPandasWithState (typed state

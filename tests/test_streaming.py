@@ -129,6 +129,42 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert by_hour.get("2024-01-01 12:00:00") == 2
 
 
+def test_stream_stream_interval_join_parity(spark, sf_dir, events_batch):
+    """Stream-stream inner join (purchases ⋈ clicks within 1h,
+    watermarks both sides): availableNow replay must produce exactly
+    the batch join's rows — inner interval joins emit on match, so no
+    late-drop divergence is possible on an ordered replay."""
+    from sparkit_learn_spark.sources.parquet_io import read_events_stream
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        return p, c
+
+    sp, sc = split(read_events_stream(spark, sf_dir))
+    joined = T.purchase_click_interval_join(
+        sp.withWatermark("ts", "10 minutes"),
+        sc.withWatermark("ts", "10 minutes"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("mem_ssj")
+        .outputMode("append")  # joins emit on match; append is the only legal mode
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM mem_ssj").toPandas()
+    bp, bc = split(events_batch)
+    expect = T.purchase_click_interval_join(bp, bc).toPandas()
+    assert len(expect) > 0  # fixture must actually exercise the join
+    compare_frames(got, expect, name="stream_stream_join")
+
+
 def test_rate_source_smoke(spark):
     """Beyond the file source: the rate source drives a windowed
     aggregation end-to-end (readStream → transform → memory sink).
