@@ -126,7 +126,10 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
          unchanged);
       2. verify — exact shingle intersection over the FULL index,
          restricted to candidate pairs, so n_common/jaccard remain
-         exact for every emitted pair.
+         exact for every emitted pair. (A per-doc collect_list +
+         array_intersect verify was measured 1.8× SLOWER at sf0.1 —
+         shuffling doc-sized arrays costs more than the exploded
+         row join it avoids.)
 
     Cost: Σ min(bucket, max_df)² over shingle buckets for candidates
     plus |candidates|·|shingles-per-doc| for verification — never n².
