@@ -158,6 +158,46 @@ def test_generic_asof_join_matches_query_form(spark, sf_dir):
     compare_frames(got, expect, name="generic_asof")
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The OTHER skew strategy besides salting (operators/skew.py):
+    AQE's runtime skew-join split. One key holding ~83% of the rows
+    must make the final executed plan mark the join skew=true and
+    read the skewed shuffle partition in slices — proving the engine
+    self-heals a hot key without manual salting."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(120_000).select(
+            F.when(F.col("id") < 100_000, 0)
+            .otherwise((F.col("id") % 999) + 1).alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(small, "k")
+        jdf = j._jdf
+        # JVM-side collect drives j's OWN queryExecution (count()/noop
+        # writes spawn a separate one whose final plan we can't read)
+        assert len(jdf.collect()) == 120_000
+        plan = jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_viral_shingle_does_not_explode_candidates(spark):
     """A boilerplate shingle shared by EVERY document must not create
     the quadratic candidate bucket: with the df cap, pairs are only
