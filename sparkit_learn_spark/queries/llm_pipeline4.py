@@ -189,3 +189,63 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select("source", "n_docs", "n_tokens",
                     F.round(share, 6).alias("token_share"))
+
+
+@register(
+    "q_llm_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS sh
+      FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+      WHERE len(toks) >= 5
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.3
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(comp) AS cluster_id,
+           node = MIN(comp) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup funnel: exact-Jaccard near-dup pairs
+    (≥ 0.3) → connected components → per-document cluster label +
+    canonical-document flag (keep-one-per-cluster policy).
+
+    Spark side: iterative min-label propagation (join + min-aggregate
+    per round, lineage checkpointed — see operators/components.py);
+    the oracle computes the same fixpoint as a recursive CTE
+    (transitive min-reachable-id). Pair generation reuses the
+    df-capped candidates-then-verify pipeline of q_llm_ngram_jaccard."""
+    from ..operators.components import dedup_clusters
+    from ..registry import all_queries
+
+    pairs = (
+        all_queries()["q_llm_ngram_jaccard"](spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b")
+    )
+    return dedup_clusters(pairs)

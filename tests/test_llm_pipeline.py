@@ -76,3 +76,46 @@ def test_repetition_scores_degenerate_doc(spark, tmp_path):
     assert (got[1]["n_windows"], got[1]["n_distinct"]) == (4, 1)
     assert got[1]["rep_frac"] == 0.75
     assert got[2]["rep_frac"] == 0.0
+
+
+def test_connected_components_crafted_graphs(spark):
+    from sparkit_learn_spark.operators.components import (
+        connected_components, dedup_clusters,
+    )
+
+    # two components: a 4-chain {1-2-3-4} and a triangle {10,11,12}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        schema="src long, dst long",
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    clusters = dedup_clusters(
+        edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    )
+    canon = {r["doc_id"] for r in clusters.filter("is_canonical").collect()}
+    assert canon == {1, 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from sparkit_learn_spark.operators.components import connected_components
+
+    n = 12  # diameter 11: several propagation rounds, still < max_iter
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], schema="src long, dst long"
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    import pytest as _pytest
+
+    from sparkit_learn_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], schema="src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="not converged"):
+        connected_components(edges, max_iter=2)
