@@ -249,3 +249,45 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     return dedup_clusters(pairs)
+
+
+@register(
+    "q_llm_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / 512) AS BIGINT) AS bin_id,
+           CAST(floor((start_offset + n_tokens - 1) / 512) AS BIGINT) AS bin_end
+    FROM o
+    """,
+)
+def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: documents laid end-to-end in id
+    order, chunked into 512-token sequences — each doc gets its global
+    token offset and the sequence range it spans (concat-and-chunk,
+    computed at preprocessing time so the data loader is a pure range
+    read).
+
+    Scale: the global prefix sum is the classic single-task window
+    trap; here it is the two-phase distributed form (range partition →
+    parallel local cumsums → O(num_partitions) driver offsets →
+    broadcast repair — operators/packing.py), the same contract as
+    the distributed id assignment in operators/ids.py. The oracle is
+    the single-window SQL form, identical by construction."""
+    from ..operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(toks, budget=512)

@@ -119,3 +119,33 @@ def test_connected_components_raises_past_max_iter(spark):
     )
     with _pytest.raises(RuntimeError, match="not converged"):
         connected_components(edges, max_iter=2)
+
+
+def test_pack_offsets_partition_count_independent(spark, sf_dir):
+    """The distributed prefix sum must equal the single-window form
+    for ANY partition count (incl. more partitions than rows) — the
+    same contract as stable_sorted_ids."""
+    from pyspark.sql import Window
+
+    from sparkit_learn_spark.catalog import load_table
+    from sparkit_learn_spark.operators.packing import global_running_offsets
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    expect = {
+        (r["doc_id"], r["off"])
+        for r in toks.select(
+            "doc_id",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off"),
+        ).collect()
+    }
+    for n_parts in (1, 7, 10_000):
+        got = {
+            (r["doc_id"], r["start_offset"])
+            for r in global_running_offsets(
+                toks, "doc_id", "n_tokens", num_partitions=n_parts
+            ).collect()
+        }
+        assert got == expect, f"mismatch at num_partitions={n_parts}"
