@@ -33,9 +33,15 @@ def connected_components(edges: DataFrame, *, src: str = "src",
     if they need every entity labeled). Raises RuntimeError if not
     converged within ``max_iter`` rounds (diameter > max_iter).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    # checkpoint the symmetrized edges ONCE: the edge list may carry an
+    # arbitrarily expensive upstream lineage (e.g. a whole dedup
+    # pipeline) that would otherwise re-execute on EVERY propagation
+    # round's join
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        ).distinct().localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("comp", F.col("node"))
