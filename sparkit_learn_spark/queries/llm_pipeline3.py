@@ -196,3 +196,38 @@ def q_llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     return tf.orderBy(F.col("n").desc(), "term").limit(10)
+
+
+@register(
+    "q_llm_inverted_index",
+    oracle="""
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+    GROUP BY term
+    """,
+)
+def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term → document frequency + sorted
+    posting list — the retrieval-side artifact BM25 and the
+    shingle-candidate dedup both conceptually read from; here
+    materialized as a first-class output (postings serialized as a
+    comma string so the oracle hash is representation-stable across
+    engines).
+
+    Scale: explode + distinct + one aggregation keyed by term;
+    collect_list is bounded per key by document frequency — for
+    stopword-grade terms pair this with the heavy-hitters df cap
+    (see q_llm_heavy_hitters / DEFAULT_MAX_SHINGLE_DF) or store
+    postings bucketed (term, bucket) at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .distinct()
+    )
+    return terms.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
+    )
