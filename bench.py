@@ -40,6 +40,9 @@ HEADLINE = [
     "q_llm_lang_id",        # NB language-ID (profile + score + argmax)
     "q_llm_ann_ivf",        # IVF approximate neighbors
     "q_llm_bm25_topk",      # BM25 retrieval scoring + top-k
+    "q_llm_decontaminate",  # train-vs-benchmark shingle overlap (broadcast)
+    "q_llm_dedup_clusters", # pairs -> connected components -> canonical docs
+    "q_llm_pack_sequences", # distributed prefix sum -> sequence packing
 ]
 
 

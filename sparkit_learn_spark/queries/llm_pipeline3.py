@@ -231,3 +231,42 @@ def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("df"),
         F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
     )
+
+
+@register(
+    "q_llm_embed_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           ROUND(n.nrm, 6) AS l2_norm,
+           ROUND(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE) / (n.nrm * n.nrm))),
+                 6) AS unit_check
+    FROM embeddings e JOIN n USING (vec_id)
+    """,
+)
+def q_llm_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization audit of the embedding column: per-vector norm
+    plus the re-normalized self-dot (≡ 1 up to rounding) — the
+    preprocessing invariant every cosine operator in this engine
+    assumes (unit vectors ⇒ dot = cosine).
+
+    Scale: pure higher-order array functions (aggregate/transform),
+    row-local, zero shuffles, codegen'd — the normalize itself is the
+    same expression minus the audit columns."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    nrm = F.sqrt(sq)
+    return e.select(
+        "vec_id",
+        F.round(nrm, 6).alias("l2_norm"),
+        F.round(sq / (nrm * nrm), 6).alias("unit_check"),
+    )
