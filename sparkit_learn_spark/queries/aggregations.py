@@ -305,3 +305,39 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in ("F", "O", "P")],
     )
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin_id,
+           ROUND(CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000.0, 6) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 6) AS min_price,
+           ROUND(MAX(o_totalprice), 6) AS max_price
+    FROM orders
+    GROUP BY bin_id
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (50k bins) — the binning
+    is a pure projection so the whole histogram is one partial+final
+    hash aggregate on a few hundred bins: map-side combine collapses
+    each partition to ~bins rows and the shuffle is tiny at any
+    scale. The distributed twin of numpy.histogram for data audits."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_id = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return (
+        o.select("o_totalprice", bin_id.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("min_price"),
+            F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        )
+        .select(
+            "bin_id",
+            F.round(F.col("bin_id") * 50000.0, 6).alias("bin_lo"),
+            "n", "min_price", "max_price",
+        )
+    )

@@ -272,3 +272,45 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_click_ts")
     )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)      AS n_orders,
+           ROUND(SUM(o.o_totalprice), 6) AS sum_price
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-FREE fact join via bucketed tables: customer and orders
+    are written once bucketed (and sorted) on custkey with the same
+    bucket count, then joined and aggregated — the sort-merge join
+    reads co-located buckets with ZERO Exchange on either side, and
+    the per-customer aggregate inherits the bucket partitioning and
+    skips its shuffle too (asserted in tests/test_plans.py).
+
+    This is the 100 TB strategy for repeated fact-fact joins: the
+    write-side shuffle is paid once and amortized across every
+    subsequent run; on a cluster the same plan reads co-located HDFS/
+    object-store buckets. The one-time bucketed write happens inline
+    here so the operator is self-contained and idempotent.
+    """
+    from ..operators.bucketing import read_bucketed, write_bucketed
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    write_bucketed(c, "bkt_customer", ["c_custkey"], n_buckets=8, sort_by=["c_custkey"])
+    write_bucketed(o, "bkt_orders", ["o_custkey"], n_buckets=8, sort_by=["o_custkey"])
+    bc, bo = read_bucketed(spark, "bkt_customer"), read_bucketed(spark, "bkt_orders")
+    return (
+        bc.hint("merge")  # force SMJ: broadcast would mask the bucket-join proof
+        .join(bo, bc.c_custkey == bo.o_custkey, "inner")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        )
+    )

@@ -64,3 +64,29 @@ def q_sub_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
         """
     )
+
+
+@register(
+    "q_sub_exists",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+      AND c_acctbal > 0
+    """,
+)
+def q_sub_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS (customers in good standing who never
+    ordered) — Catalyst decorrelates to a left ANTI join on custkey:
+    one shuffle each side, no per-row subquery execution."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+          AND c_acctbal > 0
+        """
+    )

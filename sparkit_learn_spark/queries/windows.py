@@ -203,3 +203,58 @@ def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderdate").over(w).alias("latest_order"),
         F.round(F.first("o_totalprice").over(w), 6).alias("first_price"),
     )
+
+
+@register(
+    "q_win_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT)  AS session_seq,
+           CAST(COUNT(*) AS BIGINT)     AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the classic gaps-and-islands rewrite and
+    the batch twin of q_stream_session: per user, a new session starts
+    when the gap to the previous event exceeds 30 min; session id =
+    running sum of session-start flags.
+
+    Scale: ONE shuffle on user_id serves both the lag and the running
+    sum (same window spec), then the per-session aggregate groups on
+    (user_id, session_seq) — a superset of the window partition key,
+    so no second shuffle. Linear state per partition; survives 100×.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = F.sum(is_new).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("session_seq", sess)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

@@ -86,3 +86,15 @@ def test_whole_stage_codegen_on_flagship(spark, sf_dir):
     # codegen explain mode lists the compiled subtrees directly.
     plan = explain_str(Q["q_agg_q1"](spark, sf_dir), mode="codegen")
     assert "WholeStageCodegen" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The bucketed-table join (pre-shuffled at write time) must run
+    join AND per-key aggregate with ZERO Exchange — the amortized
+    co-located join strategy for repeated 100 TB fact joins."""
+    df = Q["q_join_bucketed"](spark, sf_dir)
+    df.collect()  # executedPlan only final after an action under AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
