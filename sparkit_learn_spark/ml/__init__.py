@@ -21,6 +21,7 @@ from .estimators import (  # noqa: F401
     SparkLinearSVC,
     SparkLogisticRegression,
     SparkMultinomialNB,
+    SparkPCA,
     SparkPipeline,
     SparkSGDClassifier,
     SparkStandardScaler,

@@ -375,6 +375,95 @@ class SparkTruncatedSVD(SparkBaseEstimator):
         )
 
 
+class SparkPCA(SparkBaseEstimator):
+    """PCA via the distributed covariance matrix: ONE Arrow-batched
+    pass emits partial XᵀX, column sums, and counts; partials are
+    summed distributedly in long form and only the d×d result reaches
+    the driver (centered there: XcᵀXc = G − n·μμᵀ) for a local eigh.
+    Driver state is O(d²), independent of rows — same blocked-matrix
+    scaling story as SparkTruncatedSVD, plus mean-centering.
+
+    Matches sklearn.decomposition.PCA up to per-component sign
+    (eigenvector sign is arbitrary); explained_variance_ uses the
+    same 1/(n−1) normalization."""
+
+    def __init__(self, n_components: int = 4, vecCol: str = "embedding"):
+        self.n_components = n_components
+        self.vecCol = vecCol
+        self.mean_: np.ndarray | None = None
+        self.components_: np.ndarray | None = None
+        self.explained_variance_: np.ndarray | None = None
+        self.explained_variance_ratio_: np.ndarray | None = None
+
+    def fit(self, df: DataFrame) -> "SparkPCA":
+        import pandas as pd
+
+        col = self.vecCol
+
+        def partials(batches):
+            # i=-1,j=-1 carries the row count; j=-1 carries column
+            # sums; i,j>=0 carry the gram entries — one shuffled long
+            # table, d²+d+1 keys total.
+            for pdf in batches:
+                X = np.asarray([np.asarray(v, np.float64) for v in pdf[col]])
+                if len(X) == 0:
+                    continue
+                G = X.T @ X
+                d = G.shape[0]
+                ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+                yield pd.DataFrame({
+                    "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
+                    "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
+                    "g": np.concatenate([G.ravel(), X.sum(axis=0), [float(len(X))]]),
+                })
+
+        pl = (
+            df.select(col)
+            .mapInPandas(partials, schema="i int, j int, g double")
+            .groupBy("i", "j").agg(F.sum("g").alias("g"))
+            .toPandas()
+        )
+        n = float(pl.loc[(pl["i"] == -1) & (pl["j"] == -1), "g"].iloc[0])
+        sums = pl[(pl["i"] >= 0) & (pl["j"] == -1)].sort_values("i")["g"].to_numpy()
+        d = len(sums)
+        gram = pl[pl["j"] >= 0]
+        G = np.zeros((d, d))
+        G[gram["i"], gram["j"]] = gram["g"]
+        mu = sums / n
+        C = (G - n * np.outer(mu, mu)) / (n - 1.0)
+        vals, vecs = np.linalg.eigh(C)
+        order = np.argsort(vals)[::-1][: self.n_components]
+        self.mean_ = mu
+        self.components_ = vecs[:, order].T
+        self.explained_variance_ = np.clip(vals[order], 0, None)
+        self.explained_variance_ratio_ = self.explained_variance_ / np.clip(
+            vals, 0, None
+        ).sum()
+        return self
+
+    def transform(self, df: DataFrame, idCol: str = "vec_id") -> DataFrame:
+        """(X − μ) · Vᵀ via broadcast mean/components inside an Arrow
+        batch transform — model-sized broadcast, row-local compute."""
+        import pandas as pd
+
+        if self.components_ is None:
+            raise RuntimeError("fit first")
+        sc = df.sparkSession.sparkContext
+        model = sc.broadcast((self.mean_, self.components_))
+        col, k = self.vecCol, self.n_components
+
+        def project(batches):
+            mu, V = model.value
+            for pdf in batches:
+                X = np.asarray([np.asarray(v, np.float64) for v in pdf[col]])
+                P = (X - mu) @ V.T if len(X) else np.zeros((0, k))
+                yield pd.DataFrame({"vec_id": pdf[idCol], "scores": list(map(list, P))})
+
+        return df.select(idCol, col).mapInPandas(
+            project, schema="vec_id long, scores array<double>"
+        )
+
+
 class SparkVarianceThreshold(SparkBaseEstimator):
     """[ref: splearn SparkVarianceThreshold · C:M] — per-dim variance
     in one aggregate; keeps dims with var > threshold."""

@@ -271,3 +271,22 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e, k=5, n_lists=16, n_probe=6, seed=SEED)
+
+
+@register("q_ml_pca")  # rows-only: eigenvector sign is arbitrary, sklearn-checked in pytest
+def q_ml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA scores of the embeddings: distributed covariance (one
+    Arrow-batched pass emits gram/sum/count partials, summed in long
+    form; only the d×d matrix reaches the driver for eigh), then
+    (X−μ)·Vᵀ projection under a model-sized broadcast. Driver and
+    broadcast state are O(d²) at any corpus size; sklearn parity (up
+    to component sign) asserted in tests/test_estimators.py."""
+    from ..ml import SparkPCA
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pca = SparkPCA(n_components=4).fit(e)
+    out = pca.transform(e)
+    return out.select(
+        "vec_id",
+        *[F.round(F.abs(F.col("scores")[i]), 4).alias(f"abs_pc{i + 1}") for i in range(4)],
+    )

@@ -21,6 +21,7 @@ from sparkit_learn_spark.ml import (
     SparkPipeline,
     SparkStandardScaler,
     SparkTfidfTransformer,
+    SparkPCA,
     SparkTruncatedSVD,
     SparkVarianceThreshold,
 )
@@ -315,3 +316,29 @@ def test_sgd_predict_accuracy(emb):
     pred = clf.fit(data).predict(data)
     acc = pred.filter(F.col("prediction") == F.col("y")).count() / data.count()
     assert acc >= 0.6
+
+
+def test_pca_matches_numpy(emb):
+    """Local oracle: PCA == SVD of the centered matrix (sklearn's own
+    definition — explained_variance = S²/(n−1), scores = Xc·Vᵀ)."""
+    pca = SparkPCA(n_components=4).fit(emb)
+    rows = emb.collect()
+    X = np.array([np.asarray(r["embedding"], np.float64) for r in rows])
+    Xc = X - X.mean(axis=0)
+    _, S, Vt = np.linalg.svd(Xc, full_matrices=False)
+    n = len(X)
+    ref_var = S**2 / (n - 1)
+    np.testing.assert_allclose(pca.explained_variance_, ref_var[:4], rtol=1e-8)
+    np.testing.assert_allclose(
+        pca.explained_variance_ratio_, ref_var[:4] / ref_var.sum(), rtol=1e-8
+    )
+    # eigenvector sign is arbitrary: align each component before comparing
+    signs = np.sign(np.sum(pca.components_ * Vt[:4], axis=1))
+    np.testing.assert_allclose(
+        pca.components_ * signs[:, None], Vt[:4], atol=1e-8
+    )
+    # scores: distributed transform vs local projection, sign-aligned
+    got = {r["vec_id"]: np.asarray(r["scores"]) for r in pca.transform(emb).collect()}
+    ids = [r["vec_id"] for r in rows]
+    S_got = np.array([got[i] for i in ids]) * signs
+    np.testing.assert_allclose(S_got, Xc @ Vt[:4].T, atol=1e-6)
