@@ -1,0 +1,121 @@
+"""TPC-H-style composite queries — full multi-operator pipelines
+(filtered dim join -> fact shuffle join -> aggregate -> top-k) that
+exercise the whole optimizer stack at once, the way a real workload
+does. Adapted to the fixture schema (no o_shippriority column;
+timestamps instead of dates). All exactly DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+#: Q3 cutoff: orders placed before / lineitems shipped after this day.
+Q3_CUTOFF = "1998-01-01"
+
+#: Q18 threshold: orders whose total quantity exceeds this.
+Q18_MIN_QTY = 250
+
+
+@register(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+      AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped orders by
+    revenue for one market segment. Revenue rounded before ranking
+    with (date, orderkey) tiebreak — deterministic cross-engine.
+
+    Scale: the segment-filtered customer projection is a small dim ->
+    broadcast into orders (no fact shuffle for the first join); the
+    orders->lineitem join shuffles both sides on orderkey — the one
+    unavoidable fact-fact exchange — with both filters pushed to the
+    scans so only the surviving rows move. Top-10 is
+    TakeOrderedAndProject (per-partition heads, no global sort)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < Q3_CUTOFF
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > Q3_CUTOFF
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(l_quantity) > {Q18_MIN_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, ROUND(big.sum_qty, 2) AS sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): the 100 highest-value orders
+    whose total quantity exceeds Q18_MIN_QTY, with their customer.
+
+    Scale: the quantity rollup is a partial+final hash aggregate over
+    lineitem (map-side combine shrinks the shuffle to one row per
+    orderkey); the HAVING filter leaves a tiny "big orders" set that
+    then drives broadcast-able joins against orders and customer.
+    Top-100 is TakeOrderedAndProject. No row of lineitem is ever
+    joined — only its 1-row-per-order aggregate moves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
