@@ -1,0 +1,114 @@
+"""Aggregate surface, wave 2: linear-regression aggregates, exact
+percentiles (interpolated), and ordered string aggregation — the
+remaining ANSI aggregate families. All exactly DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "q_agg_regr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4)  AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2)
+             AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)     AS r2,
+           ROUND(corr(l_extendedprice, l_quantity), 6)        AS corr_pq,
+           ROUND(covar_samp(l_extendedprice, l_quantity) / 1e6, 4)
+             AS covar_m,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+             AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope / intercept /
+    r2 / corr / covar_samp / regr_count): price-vs-quantity fit per
+    return flag. covar is scaled to millions before rounding (same
+    rationale as q_agg_stats: magnitude ~1e5 with engine-specific
+    merge formulas exposes last-bit noise at fine precision).
+
+    Scale: all six are single-pass partial+final hash aggregates over
+    a 3-key groupBy — Spark merges per-partition moment sketches, so
+    the shuffle carries one row of moments per (partition, flag)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.corr(y, x), 6).alias("corr_pq"),
+        F.round(F.covar_samp(y, x) / 1e6, 4).alias("covar_m"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (ANSI percentile_cont semantics:
+    linear interpolation at rank p*(n-1)) of order value per priority
+    class — the exact counterpart of q_agg_approx_quantiles' sketch.
+
+    Scale: exact percentiles require the group's values collected to
+    one aggregation buffer — correct but memory-bound per group; the
+    approx (Greenwald-Khanna) variant is the 100 TB path, kept as a
+    separate registered operator so both contracts stay available."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(p)), 4).alias(a)
+            for p, a in [(0.25, "p25"), (0.50, "p50"),
+                         (0.75, "p75"), (0.90, "p90")]
+        ]
+    )
+
+
+@register(
+    "q_agg_string_agg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (string_agg / LISTAGG): the nations
+    of each region as one sorted comma-joined string. Expressed as
+    array_sort(collect_list()) -> array_join, the order-deterministic
+    form (a bare collect_list order is partition-dependent).
+
+    Scale: collect_list is bounded here by group fan-out (nations per
+    region), not corpus size — the pattern is safe whenever the
+    grouped collection is dimension-sized; for unbounded groups the
+    sorted-window + aggregation form replaces it."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
