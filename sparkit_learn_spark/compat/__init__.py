@@ -1,3 +1,9 @@
 """Migration facades for reference-API users."""
 
-from .blocked import ArrayTable, DictTable, block  # noqa: F401
+from .blocked import (  # noqa: F401
+    ArrayTable,
+    DictTable,
+    SparseTable,
+    block,
+    set_arrow_block_size,
+)

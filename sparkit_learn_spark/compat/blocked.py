@@ -43,10 +43,24 @@ def block(df: DataFrame, vec_col: str = "features",
     (set ``spark.sql.execution.arrow.maxRecordsPerBatch``); the
     DataFrame itself needs no physical re-batching."""
     if block_size is not None:
-        df.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(block_size)
-        )
+        # Session-wide knob: Arrow batch size has no per-DataFrame
+        # scope in Spark, so this deliberately applies to the whole
+        # session (and is visible to later unrelated Arrow operations).
+        # set_arrow_block_size() is the explicit spelling; callers that
+        # need the old value back should save/restore it themselves.
+        set_arrow_block_size(df.sparkSession, block_size)
     return ArrayTable(df, vec_col)
+
+
+def set_arrow_block_size(spark, block_size: int) -> str | None:
+    """Set the session-level Arrow batch size (rows per batch crossing
+    the JVM/Python boundary) and return the PREVIOUS value so callers
+    can restore it: a per-table argument cannot be scoped narrower
+    because maxRecordsPerBatch is a session conf."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(block_size))
+    return prev
 
 
 class ArrayTable:
@@ -259,3 +273,178 @@ class DictTable:
                 yield out[col_order]
 
         return DictTable(self.df.mapInPandas(run, schema=fields), self.columns)
+
+
+class SparseTable:
+    """SparseRDD-compatible facade [ref: splearn/rdd.py SparseRDD ·
+    C:H] over LONG-FORM sparse data: a DataFrame of (row, col, val)
+    COO triplets. The reference blocked scipy.sparse matrices per
+    partition; the Spark-native representation of the same data is the
+    long form every text operator here already uses (ml_text.py's
+    (doc_id, term, tf)), so this facade wraps that and compiles each
+    method to the plan you would write by hand:
+
+      * ``sum/mean(axis=0)`` — groupBy(col) partial sums, never a
+        driver loop; implicit zeros contribute nothing to sums and are
+        accounted for in means by dividing by the DENSE row count;
+      * ``dot(A)`` — distributed SpMM as join + aggregate: triplets
+        hash-join the broadcast-able long form of A on ``col``, then
+        groupBy(row, j) sums val·A[col, j]. Only nonzeros shuffle.
+      * ``to_vector(dim)`` — densify to an ArrayTable (map_from_entries
+        + sequence/transform, all codegen), the bridge INTO the dense
+        blocked API; ``to_long()`` is the bridge out.
+
+    Rows with no nonzeros do not exist in COO form and therefore do
+    not appear in ``dot``/``to_vector`` output unless ``n_rows`` is
+    given to ``to_scipy`` (which re-inserts them as empty rows).
+    """
+
+    def __init__(self, df: DataFrame, row_col: str = "row",
+                 col_col: str = "col", val_col: str = "val"):
+        self.df = df
+        self.row_col, self.col_col, self.val_col = row_col, col_col, val_col
+
+    # -- constructors / materializers -----------------------------
+    @classmethod
+    def from_scipy(cls, spark, X) -> "SparseTable":
+        """Driver-local scipy matrix → distributed COO triplets (test
+        and small-data path; big data should arrive long-form)."""
+        coo = X.tocoo()
+        rows = [(int(r), int(c), float(v))
+                for r, c, v in zip(coo.row, coo.col, coo.data)]
+        return cls(spark.createDataFrame(rows, "row long, col long, val double"))
+
+    def to_scipy(self, shape: tuple[int, int] | None = None):
+        """Collect to a local scipy CSR matrix (explicitly local, like
+        the reference's collect)."""
+        from scipy import sparse
+
+        pdf = self.df.select(self.row_col, self.col_col, self.val_col).toPandas()
+        if shape is None:
+            shape = (int(pdf[self.row_col].max()) + 1 if len(pdf) else 0,
+                     int(pdf[self.col_col].max()) + 1 if len(pdf) else 0)
+        return sparse.coo_matrix(
+            (pdf[self.val_col], (pdf[self.row_col], pdf[self.col_col])),
+            shape=shape,
+        ).tocsr()
+
+    @classmethod
+    def from_dense(cls, spark, X: np.ndarray) -> "SparseTable":
+        """numpy ndarray → COO triplets of its nonzeros (pure-numpy
+        twin of from_scipy; the container has no scipy)."""
+        X = np.asarray(X, dtype=np.float64)
+        rr, cc = np.nonzero(X)
+        rows = [(int(r), int(c), float(X[r, c])) for r, c in zip(rr, cc)]
+        return cls(spark.createDataFrame(rows, "row long, col long, val double"))
+
+    def to_dense(self, shape: tuple[int, int] | None = None) -> np.ndarray:
+        """Collect to a local dense ndarray (explicitly local)."""
+        pdf = self.df.select(self.row_col, self.col_col, self.val_col).toPandas()
+        if shape is None:
+            shape = (int(pdf[self.row_col].max()) + 1 if len(pdf) else 0,
+                     int(pdf[self.col_col].max()) + 1 if len(pdf) else 0)
+        out = np.zeros(shape)
+        out[pdf[self.row_col], pdf[self.col_col]] = pdf[self.val_col]
+        return out
+
+    def to_long(self) -> DataFrame:
+        """The underlying (row, col, val) DataFrame — bridge OUT of the
+        compat layer into native long-form operators (ml_text.py)."""
+        return self.df
+
+    # -- introspection --------------------------------------------
+    def nnz(self) -> int:
+        return self.df.count()
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        """Dense logical shape inferred from max indices (one agg job);
+        empty trailing rows/cols are invisible in COO form."""
+        r = self.df.agg(
+            F.max(self.row_col).alias("r"), F.max(self.col_col).alias("c")
+        ).first()
+        return ((r["r"] or -1) + 1, (r["c"] or -1) + 1)
+
+    # -- distributed math -----------------------------------------
+    def sum(self, axis: int | None = None):
+        """[ref: SparseRDD.sum · C:M] — scalar or per-column sums over
+        nonzeros (zeros contribute nothing, so COO sums are exact)."""
+        if axis is None:
+            return float(self.df.agg(F.sum(self.val_col)).first()[0] or 0.0)
+        if axis != 0:
+            raise ValueError("axis must be None or 0")
+        rows = (self.df.groupBy(self.col_col)
+                .agg(F.sum(self.val_col).alias("s")).collect())
+        out = np.zeros(max((r[0] for r in rows), default=-1) + 1)
+        for r in rows:
+            out[r[0]] = r["s"]
+        return out
+
+    def mean(self, axis: int | None = None, n_rows: int | None = None):
+        """Dense-semantics mean: divides by the DENSE element count
+        (n_rows × n_cols for axis=None, n_rows for axis=0), which is
+        what scipy's .mean() does. ``n_rows`` overrides the inferred
+        row count when trailing all-zero rows exist."""
+        n, d = self.shape
+        n = n_rows if n_rows is not None else n
+        s = self.sum(axis)
+        if axis is None:
+            return s / (n * d) if n and d else 0.0
+        return s / n if n else s
+
+    def dot(self, other: np.ndarray) -> ArrayTable:
+        """[ref: SparseRDD.dot · C:M] — X_sparse · A_dense as a
+        distributed join-aggregate SpMM: A goes long-form (col, j, a)
+        and is broadcast (it is d×k, driver-local by contract), each
+        nonzero joins its A row, groupBy(row, j) sums the products,
+        and the k per-row sums densify to one array<double>. All
+        codegen; only nnz·k intermediate rows, never n·d."""
+        from pyspark.sql.functions import broadcast
+
+        A = np.asarray(other, dtype=np.float64)
+        if A.ndim == 1:
+            A = A[:, None]
+        d, k = A.shape
+        spark = self.df.sparkSession
+        # A's zeros are kept: dropping them would also drop output
+        # rows whose only nonzero X columns hit zero A coefficients,
+        # breaking the "present iff the row has a nonzero" contract.
+        a_rows = [(c, j, float(A[c, j])) for c in range(d) for j in range(k)]
+        a_df = spark.createDataFrame(a_rows, "acol long, j long, a double")
+        prod = (
+            self.df.join(broadcast(a_df),
+                         F.col(self.col_col) == F.col("acol"), "inner")
+            .groupBy(F.col(self.row_col).alias("row"), "j")
+            .agg(F.sum(F.col(self.val_col) * F.col("a")).alias("s"))
+        )
+        dense = (
+            prod.groupBy("row")
+            .agg(F.map_from_entries(F.collect_list(F.struct("j", "s"))).alias("m"))
+            .select(
+                "row",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda j: F.coalesce(F.element_at("m", j.cast("long")), F.lit(0.0)),
+                ).alias("features"),
+            )
+        )
+        return ArrayTable(dense, "features")
+
+    def to_vector(self, dim: int) -> ArrayTable:
+        """Densify each present row to a length-``dim`` array — the
+        bridge INTO the dense blocked API. map_from_entries + sequence
+        transform, entirely JVM-side; absent (all-zero) rows stay
+        absent, mirroring their absence in COO form."""
+        out = (
+            self.df.groupBy(F.col(self.row_col).alias("row"))
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct(self.col_col, self.val_col))).alias("m"))
+            .select(
+                "row",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda j: F.coalesce(F.element_at("m", j.cast("long")), F.lit(0.0)),
+                ).alias("features"),
+            )
+        )
+        return ArrayTable(out, "features")

@@ -667,11 +667,24 @@ class SparkSGDClassifier(SparkBaseEstimator):
             .agg(F.sum(F.col("r") * F.col("v")).alias("g"), F.count("*").alias("c"))
             .collect()
         )
+        if not rows:
+            raise ValueError("partial_fit called with an empty batch")
         g = np.zeros(len(w) + 1)
-        n = 1
+        # pos 0 is the intercept column, present in every row, so its
+        # count IS the batch size; per-pos counts can differ if feature
+        # arrays are ragged, which we reject rather than average over.
+        n = None
+        counts = set()
         for r in rows:
             g[r["pos"]] = r["g"]
-            n = r["c"]
+            counts.add(r["c"])
+            if r["pos"] == 0:
+                n = r["c"]
+        if len(counts) > 1:
+            raise ValueError(
+                f"inconsistent feature dimensions in batch: per-position "
+                f"row counts {sorted(counts)} differ (ragged or null arrays)"
+            )
         grad = g[1:] / n + self.reg * w
         self.coef_ = w - self.lr * grad
         self.intercept_ = b - self.lr * (g[0] / n)

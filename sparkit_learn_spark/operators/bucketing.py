@@ -41,16 +41,25 @@ def write_bucketed(
     skip its per-partition Sort. Idempotent (mode=overwrite), so a
     driver re-run at a different scale factor just rewrites the
     buckets.
+
+    NOT re-entrant: DROP TABLE + overwrite mutates shared catalog
+    state, so two concurrent writers of the SAME table name race.
+    Callers that may run concurrently must namespace the table name
+    (e.g. per-scale-factor suffix — see q_join_bucketed).
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # The in-memory catalog dies with the session but the warehouse
     # directory survives; an orphaned location makes saveAsTable fail
-    # with LOCATION_ALREADY_EXISTS, so clear it explicitly.
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    orphan = Path(warehouse) / table.lower()
-    if orphan.exists():
-        shutil.rmtree(orphan)
+    # with LOCATION_ALREADY_EXISTS, so clear it explicitly. Driver-side
+    # rmtree is only meaningful (and only safe) for a LOCAL warehouse —
+    # for hdfs:// / s3a:// warehouses urlparse().path is not a local
+    # path, so leave cleanup to the filesystem-aware overwrite.
+    uri = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if uri.scheme in ("", "file"):
+        orphan = Path(uri.path) / table.lower()
+        if orphan.exists():
+            shutil.rmtree(orphan)
     writer = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, *keys)
     if sort_by:
         writer = writer.sortBy(*sort_by)

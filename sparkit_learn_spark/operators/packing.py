@@ -85,7 +85,7 @@ def pack_sequences(docs: DataFrame, *, id_col: str = "doc_id",
         id_col,
         weight_col,
         "start_offset",
-        (F.col("start_offset") / budget).cast("long").alias("bin_id"),
-        ((F.col("start_offset") + F.col(weight_col) - 1) / budget)
-        .cast("long").alias("bin_end"),
+        F.floor(F.col("start_offset") / budget).alias("bin_id"),
+        F.floor((F.col("start_offset") + F.col(weight_col) - 1) / budget)
+        .alias("bin_end"),
     )

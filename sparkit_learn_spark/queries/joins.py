@@ -298,13 +298,20 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     object-store buckets. The one-time bucketed write happens inline
     here so the operator is self-contained and idempotent.
     """
+    import re
+
     from ..operators.bucketing import read_bucketed, write_bucketed
 
+    # Per-scale-factor table names: write_bucketed mutates catalog
+    # state (DROP + overwrite), so namespacing keeps runs at different
+    # sf_dirs from clobbering each other's buckets.
+    ns = re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]).lower()
+    tc, to = f"bkt_customer_{ns}", f"bkt_orders_{ns}"
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    write_bucketed(c, "bkt_customer", ["c_custkey"], n_buckets=8, sort_by=["c_custkey"])
-    write_bucketed(o, "bkt_orders", ["o_custkey"], n_buckets=8, sort_by=["o_custkey"])
-    bc, bo = read_bucketed(spark, "bkt_customer"), read_bucketed(spark, "bkt_orders")
+    write_bucketed(c, tc, ["c_custkey"], n_buckets=8, sort_by=["c_custkey"])
+    write_bucketed(o, to, ["o_custkey"], n_buckets=8, sort_by=["o_custkey"])
+    bc, bo = read_bucketed(spark, tc), read_bucketed(spark, to)
     return (
         bc.hint("merge")  # force SMJ: broadcast would mask the bucket-join proof
         .join(bo, bc.c_custkey == bo.o_custkey, "inner")

@@ -101,10 +101,17 @@ def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(toks) >= 5
     ),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(COUNT(*) AS BIGINT) AS n_common
+    rare AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(*) <= 100),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      WHERE a.sh IN (SELECT sh FROM rare)
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cands c
+      JOIN s a ON a.doc_id = c.doc_a
+      JOIN s b ON b.doc_id = c.doc_b AND b.sh = a.sh
       GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b, i.n_common,
@@ -121,9 +128,10 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       1. candidates — pairs sharing ≥1 NON-VIRAL shingle (document
          frequency ≤ DEFAULT_MAX_SHINGLE_DF; the cap keeps one
-         boilerplate shingle from creating a quadratic bucket, and is
-         far above the fixtures' max df of 4, so fixture output is
-         unchanged);
+         boilerplate shingle from creating a quadratic bucket). The
+         DuckDB oracle mirrors the cap exactly (rare/cands CTEs), so
+         Spark and oracle agree at ANY scale, not just fixtures where
+         no shingle is viral;
       2. verify — exact shingle intersection over the FULL index,
          restricted to candidate pairs, so n_common/jaccard remain
          exact for every emitted pair. (A per-doc collect_list +
@@ -410,9 +418,11 @@ def q_llm_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
       WHERE len(toks) >= 5
     ),
+    rare AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(*) <= 100),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      WHERE a.sh IN (SELECT sh FROM rare)
     )
     SELECT c.doc_a, c.doc_b,
            CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
@@ -428,8 +438,8 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes unpruned levenshtein the most expensive dedup check, so it
     runs last in the funnel (hash → sketch → jaccard → edit distance).
     Candidate generation df-caps viral shingles (see
-    operators.dedup.shingle_candidate_pairs); the cap is far above the
-    fixtures' max shingle df, so oracle output is unchanged."""
+    operators.dedup.shingle_candidate_pairs); the DuckDB oracle mirrors
+    the cap (rare/cands CTEs) so both engines agree at any scale."""
     from ..operators.dedup import shingle_candidate_pairs, shingle_index
 
     d = load_table(spark, sf_dir, "documents")

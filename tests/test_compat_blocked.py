@@ -105,3 +105,81 @@ def test_estimator_composes_with_facade(emb, X):
                              lr=0.5, epochs=2)
     clf.fit(centered.df)
     assert clf.n_iter_ == 2 and clf.coef_ is not None
+
+
+# -- SparseTable (SparseRDD facade over long-form COO) ------------
+
+@pytest.fixture(scope="module")
+def S():
+    """Deterministic sparse matrix; every row has >=1 nonzero so COO
+    round-trips are exact (all-zero rows are invisible in COO form)."""
+    rng = np.random.RandomState(7)
+    X = rng.rand(40, 12)
+    X[X < 0.7] = 0.0          # ~70% sparse
+    X[np.arange(40), np.arange(40) % 12] += 1.0  # guarantee a nonzero per row
+    return X
+
+
+def test_sparse_roundtrip_dense(spark, S):
+    from sparkit_learn_spark.compat import SparseTable
+
+    st = SparseTable.from_dense(spark, S)
+    assert st.shape == S.shape
+    assert st.nnz() == int(np.count_nonzero(S))
+    np.testing.assert_allclose(st.to_dense(S.shape), S)
+
+
+def test_sparse_roundtrip_scipy(spark, S):
+    pytest.importorskip("scipy")
+    from scipy import sparse
+
+    from sparkit_learn_spark.compat import SparseTable
+
+    st = SparseTable.from_scipy(spark, sparse.csr_matrix(S))
+    back = st.to_scipy(S.shape)
+    np.testing.assert_allclose(back.toarray(), S)
+
+
+def test_sparse_sum_mean(spark, S):
+    from sparkit_learn_spark.compat import SparseTable
+
+    st = SparseTable.from_dense(spark, S)
+    np.testing.assert_allclose(st.sum(), S.sum())
+    np.testing.assert_allclose(st.sum(axis=0), S.sum(axis=0))
+    np.testing.assert_allclose(st.mean(), S.mean())
+    np.testing.assert_allclose(st.mean(axis=0), S.mean(axis=0))
+
+
+def test_sparse_dot_matches_numpy(spark, S):
+    from sparkit_learn_spark.compat import SparseTable
+
+    rng = np.random.RandomState(11)
+    A = rng.rand(12, 5)
+    st = SparseTable.from_dense(spark, S)
+    out = st.dot(A)
+    pdf = out.df.orderBy("row").toPandas()
+    got = np.array([np.asarray(v) for v in pdf["features"]])
+    np.testing.assert_allclose(got, S @ A, rtol=1e-9)
+
+
+def test_sparse_dot_vector(spark, S):
+    from sparkit_learn_spark.compat import SparseTable
+
+    v = np.arange(12, dtype=np.float64)
+    st = SparseTable.from_dense(spark, S)
+    pdf = st.dot(v).df.orderBy("row").toPandas()
+    got = np.array([np.asarray(x) for x in pdf["features"]])[:, 0]
+    np.testing.assert_allclose(got, S @ v, rtol=1e-9)
+
+
+def test_sparse_to_vector_bridges_to_dense_api(spark, S):
+    from sparkit_learn_spark.compat import SparseTable
+
+    st = SparseTable.from_dense(spark, S)
+    at = st.to_vector(dim=12)          # densify into the ArrayTable API
+    assert isinstance(at, ArrayTable)
+    pdf = at.df.orderBy("row").toPandas()
+    got = np.array([np.asarray(v) for v in pdf["features"]])
+    np.testing.assert_allclose(got, S)
+    # and the long-form bridge back out is the original triplets
+    assert st.to_long().count() == int(np.count_nonzero(S))
