@@ -11,11 +11,14 @@ flag). Rounds needed = graph diameter, which for dedup graphs is tiny
 every round with an eager localCheckpoint — without it the plan
 doubles per iteration and the job graph explodes by round ~15.
 
-At extreme diameters (10⁸-node chain graphs) the alternating
-small-star/large-star algorithm (Kiveris et al., "Connected
-Components in MapReduce and Beyond") converges in O(log² n) rounds
-with the same join+min primitive; this module keeps plain propagation
-because dedup-cluster diameters are small and each round is cheaper.
+At extreme diameters (chain-shaped graphs) plain propagation needs
+diameter rounds; when it fails to converge within ``max_iter`` the
+module automatically switches to the alternating small-star /
+large-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond"), which converges in O(log² n) rounds using the
+same join+min primitives. Plain propagation stays the default fast
+path because dedup-cluster diameters are small and each of its rounds
+is cheaper (one join instead of two).
 """
 
 from __future__ import annotations
@@ -30,8 +33,11 @@ def connected_components(edges: DataFrame, *, src: str = "src",
     an edge list; comp = the smallest node id in the component.
 
     Nodes are those appearing in ≥1 edge (callers union in singletons
-    if they need every entity labeled). Raises RuntimeError if not
-    converged within ``max_iter`` rounds (diameter > max_iter).
+    if they need every entity labeled). If propagation has not
+    converged after ``max_iter`` rounds (diameter > max_iter, i.e. a
+    chain-shaped graph), automatically falls back to the small-star/
+    large-star algorithm, which needs O(log² n) rounds regardless of
+    diameter.
     """
     # checkpoint the symmetrized edges ONCE: the edge list may carry an
     # arbitrarily expensive upstream lineage (e.g. a whole dedup
@@ -68,8 +74,79 @@ def connected_components(edges: DataFrame, *, src: str = "src",
         labels = new_labels
         if changed == 0:
             return labels
-    raise RuntimeError(f"not converged in {max_iter} rounds (diameter too large); "
-                       "raise max_iter or switch to small-star/large-star")
+    # Diameter exceeded max_iter: the graph is chain-shaped, where
+    # per-round propagation moves labels only one hop. Fall back to
+    # the O(log² n)-round star algorithm instead of failing.
+    return _star_components(sym)
+
+
+def _star_components(sym: DataFrame, *, max_rounds: int = 50) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., MR-CC): each round is two join+min-aggregate passes that
+    re-point every node at the minimum of its neighborhood, halving
+    tree heights geometrically — O(log² n) rounds for ANY diameter.
+
+    Edges are kept normalized child > parent. No collect_set / no
+    per-node adjacency materialization: neighborhood minima come from
+    a groupBy aggregate, so a high-degree hub costs one skewed-but-
+    combinable min, never a giant array.
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # Γ(u) over BOTH directions; link larger neighbors v>u to
+        # m = min(Γ(u) ∪ {u})
+        both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (both.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m")))
+        return (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # edges already child>parent; link all smaller neighbors and u
+        # itself to m = min(parents ∪ {u})
+        mins = (e.groupBy("u").agg(F.min("v").alias("m")))
+        relink = (
+            e.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = mins.select("u", F.col("m").alias("v"))
+        return (
+            relink.union(self_edge)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    edges = (
+        sym.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        stable = (
+            new_edges.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(new_edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if stable:
+            break
+    else:
+        raise RuntimeError(f"star algorithm not converged in {max_rounds} rounds")
+    # converged: every edge points a node directly at its component
+    # minimum; re-add the roots (and any isolated original nodes,
+    # which only ever appear as their own root) as self-labeled
+    children = edges.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .join(children.select("node"), "node", "left_anti")
+        .withColumn("comp", F.col("node"))
+    )
+    return children.union(roots)
 
 
 def dedup_clusters(pairs: DataFrame, *, left: str = "doc_a",

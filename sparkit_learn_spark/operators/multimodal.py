@@ -2,8 +2,11 @@
 with typed metadata, processed through Arrow-batched mapInPandas.
 
 The Spark-side plumbing (schema, partitioning, UDF signature, batch
-shape) is real and tested; the actual media decoding is STUBBED —
-the image/audio libraries are not in this container. Each decode
+shape) is real and tested. HEADER decoding is REAL and pure-Python —
+``header_image_decoder`` struct-parses PNG/JPEG/GIF/BMP dimensions,
+``wav_audio_decoder`` parses RIFF/WAVE fmt+data chunks — no imaging
+library needed. Full PIXEL/SAMPLE decoding stays stubbed (the
+image/audio libraries are not in this container). Each decode
 function accepts a ``decoder`` callable; the default:
 
   * raises NotImplementedError when ``strict=True`` (production mode
@@ -19,6 +22,7 @@ Swap in a real decoder (PIL / torchaudio / pyav) by passing
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 from collections.abc import Callable, Iterator
 
@@ -57,6 +61,116 @@ def _fake_feature_extract(blob: bytes, dim: int = 16) -> list[float]:
         seed = hashlib.sha256(seed).digest()
         out.extend(b / 255.0 for b in seed)
     return out[:dim]
+
+
+def parse_image_header(blob: bytes) -> dict:
+    """REAL pure-Python image metadata: struct-parse the header of
+    PNG (IHDR), JPEG (SOFn scan), GIF (logical screen descriptor) or
+    BMP (BITMAPINFOHEADER) bytes — width/height without any imaging
+    library. Raises ValueError on unrecognized or truncated bytes."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        # 8-byte signature, 4-byte length, b"IHDR", then W/H big-endian
+        if blob[12:16] != b"IHDR" or len(blob) < 24:
+            raise ValueError("truncated PNG: no IHDR chunk")
+        w, h = struct.unpack(">II", blob[16:24])
+        fmt = "png"
+    elif blob[:3] == b"\xff\xd8\xff":
+        # walk JPEG segments to the first SOFn frame header
+        i, w, h = 2, None, None
+        while i + 9 < len(blob):
+            if blob[i] != 0xFF:
+                i += 1
+                continue
+            marker = blob[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", blob[i + 5:i + 9])
+                break
+            seg_len = struct.unpack(">H", blob[i + 2:i + 4])[0]
+            i += 2 + seg_len
+        if w is None:
+            raise ValueError("no SOF frame header found in JPEG")
+        fmt = "jpeg"
+    elif blob[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", blob[6:10])
+        fmt = "gif"
+    elif blob[:2] == b"BM" and len(blob) >= 26:
+        w, h = struct.unpack("<ii", blob[18:26])
+        h = abs(h)  # negative height = top-down DIB
+        fmt = "bmp"
+    else:
+        raise ValueError("unrecognized image format (not PNG/JPEG/GIF/BMP)")
+    return {
+        "n_bytes": len(blob),
+        "format": fmt,
+        "width": int(w),
+        "height": int(h),
+        "checksum": hashlib.sha256(blob).hexdigest()[:16],
+    }
+
+
+def header_image_decoder() -> Callable[[bytes], dict]:
+    """The REAL in-container ``decoder=`` for :func:`decode_images`:
+    header struct-parsing only (see parse_image_header) — exact
+    dimensions/format, no pixel decode, no third-party imports."""
+    return parse_image_header
+
+
+#: Output schema of decode_audio — parsed WAV metadata.
+AUDIO_META_SCHEMA = (
+    "item_id long, n_bytes long, format string, sample_rate int, "
+    "channels int, bits_per_sample int, n_frames long, duration_s double"
+)
+
+
+def parse_wav_header(blob: bytes) -> dict:
+    """REAL pure-Python WAV metadata: walk the RIFF chunk list for
+    ``fmt `` (sample rate / channels / bit depth) and ``data`` (frame
+    count). Raises ValueError on non-RIFF/WAVE bytes."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    i, meta, data_size = 12, None, None
+    while i + 8 <= len(blob):
+        cid, size = blob[i:i + 4], struct.unpack("<I", blob[i + 4:i + 8])[0]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", blob[i + 8:i + 16])
+            bits = struct.unpack("<H", blob[i + 22:i + 24])[0]
+            meta = (audio_fmt, channels, rate, bits)
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if meta is None:
+        raise ValueError("no fmt chunk in WAVE stream")
+    audio_fmt, channels, rate, bits = meta
+    block_align = max(1, channels * (bits // 8))
+    n_frames = (data_size // block_align) if data_size is not None else 0
+    return {
+        "n_bytes": len(blob),
+        "format": "wav_pcm" if audio_fmt == 1 else f"wav_fmt{audio_fmt}",
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "bits_per_sample": int(bits),
+        "n_frames": int(n_frames),
+        "duration_s": (n_frames / rate) if rate else 0.0,
+    }
+
+
+def decode_audio(df: DataFrame, *, id_col: str = "item_id",
+                 binary_col: str = "data",
+                 decoder: Callable[[bytes], dict] | None = None) -> DataFrame:
+    """binary column -> typed audio metadata (AUDIO_META_SCHEMA) via
+    Arrow-batched mapInPandas; the default decoder is the REAL WAV
+    header parser (sample decode — resample/spectrogram — would plug
+    in as ``decoder=`` with a wider schema)."""
+    dec = decoder or parse_wav_header
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [dec(bytes(b)) for b in pdf[binary_col]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "item_id", pdf[id_col].to_numpy())
+            yield out
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=AUDIO_META_SCHEMA)
 
 
 def pil_image_decoder() -> Callable[[bytes], dict]:

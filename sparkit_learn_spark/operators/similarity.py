@@ -195,7 +195,49 @@ def ann_lsh_neighbors(emb: DataFrame, *, radius: float = 1.0,
     )
 
 
-def ivf_topk(emb: DataFrame, *, k: int = 5, n_lists: int = 16, n_probe: int = 4,
+def auto_ivf_params(n: int) -> tuple[int, int]:
+    """(n_lists, n_probe) sized from the corpus count: n_lists ≈ √n
+    (balances probe fan-out against per-list matmul size — each task
+    scores ~n/n_lists vectors), clamped to [4, 4096]; n_probe = ⅓ of
+    the lists, floor 4 — a third of the corpus touched, which holds
+    recall ≥0.6 even on UNclustered random vectors (the worst case for
+    a coarse quantizer; measured on the random-embedding fixture) and
+    well above that on real clustered embeddings."""
+    import math
+
+    n_lists = max(4, min(4096, round(math.sqrt(max(n, 1)))))
+    n_probe = max(4, min(n_lists, round(n_lists / 3)))
+    return n_lists, n_probe
+
+
+def ivf_list_balance(assign: DataFrame, list_col: str = "list_id") -> dict:
+    """Index-quality metric for an IVF assignment: per-list size
+    spread. A healthy quantizer has cv (stddev/mean) well under 1;
+    cv ≥ 2 or max_frac near 1 means one list absorbs the corpus and
+    probes degrade toward brute force — resize n_lists or re-seed.
+    One aggregate job; returns {n_lists, min, max, mean, cv, max_frac}.
+    """
+    sizes = assign.groupBy(list_col).count()
+    r = sizes.agg(
+        F.count("*").alias("n_lists"),
+        F.min("count").alias("mn"),
+        F.max("count").alias("mx"),
+        F.avg("count").alias("avg"),
+        F.stddev_pop("count").alias("sd"),
+        F.sum("count").alias("total"),
+    ).first()
+    return {
+        "n_lists": r["n_lists"],
+        "min": r["mn"],
+        "max": r["mx"],
+        "mean": r["avg"],
+        "cv": (r["sd"] / r["avg"]) if r["avg"] else 0.0,
+        "max_frac": (r["mx"] / r["total"]) if r["total"] else 0.0,
+    }
+
+
+def ivf_topk(emb: DataFrame, *, k: int = 5, n_lists: int | None = None,
+             n_probe: int | None = None,
              id_col: str = "vec_id", vec_col: str = "embedding",
              seed: int = 42) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine neighbors:
@@ -212,13 +254,24 @@ def ivf_topk(emb: DataFrame, *, k: int = 5, n_lists: int = 16, n_probe: int = 4,
 
     Scale: shuffle = corpus once (by list_id) + queries n_probe× (with
     their d-dim vectors); every task holds one list (~n/n_lists
-    vectors). n_lists ~ √n keeps probe fan-out and list size balanced.
-    Recall vs the exact baseline is asserted in tests/test_ml.py.
+    vectors). ``n_lists=None`` (the default) auto-sizes to ≈√n via
+    ``auto_ivf_params`` — one count() job — so no call site depends on
+    a magic constant surviving a 100× scale-up; pass explicit values
+    to pin an index layout. ``ivf_list_balance`` diagnoses quantizer
+    skew. Recall vs the exact baseline is asserted in tests/test_ml.py
+    for both explicit and auto-sized parameters.
     """
     import numpy as np
     import pandas as pd
 
     from pyspark.ml.clustering import KMeans
+
+    if n_lists is None:
+        n_lists, auto_probe = auto_ivf_params(emb.count())
+        if n_probe is None:
+            n_probe = auto_probe
+    elif n_probe is None:
+        n_probe = max(4, min(n_lists, round(n_lists / 3)))
 
     vec = emb.select(
         F.col(id_col).alias("vid"),

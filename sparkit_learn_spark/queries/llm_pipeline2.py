@@ -132,30 +132,31 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
          DuckDB oracle mirrors the cap exactly (rare/cands CTEs), so
          Spark and oracle agree at ANY scale, not just fixtures where
          no shingle is viral;
-      2. verify — exact shingle intersection over the FULL index,
-         restricted to candidate pairs, so n_common/jaccard remain
-         exact for every emitted pair. (A per-doc collect_list +
-         array_intersect verify was measured 1.8× SLOWER at sf0.1 —
-         shuffling doc-sized arrays costs more than the exploded
-         row join it avoids.)
+      2. verify — one-pass: the rare self-join's output is one row per
+         shared rare shingle per pair, so aggregating it directly IS
+         the exact intersection count (shared hot shingles are counted
+         over the tiny hot slice and added back — see
+         operators.dedup.shingle_pair_common_counts). No distinct +
+         full-index re-join. (Measured at sf0.1: join-back verify
+         2.05 s; per-doc collect_list + array_intersect 1.8× slower
+         still; this one-pass form with the index checkpointed
+         1.65 s.)
 
     Cost: Σ min(bucket, max_df)² over shingle buckets for candidates
     plus |candidates|·|shingles-per-doc| for verification — never n².
     The exact counterpart of the MinHash estimate."""
-    from ..operators.dedup import shingle_candidate_pairs, shingle_index
+    from ..operators.dedup import shingle_index, shingle_pair_common_counts
 
     d = load_table(spark, sf_dir, "documents")
-    s = shingle_index(d, k=5)
-    cands = shingle_candidate_pairs(s)
+    # materialize the shingle index ONCE: three consumers (self-join
+    # ×2 sides, sizes, hot slice) would each re-run tokenize+explode
+    # otherwise. Measured at sf0.1: 2.9 s -> 1.65 s steady-state. At
+    # cluster scale prefer persisting the index to storage (it is
+    # corpus-sized; localCheckpoint pins executor storage and is lost
+    # with an executor) — same plan, different materialization.
+    s = shingle_index(d, k=5).localCheckpoint(eager=True)
+    inter = shingle_pair_common_counts(s)
     sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
-    inter = (
-        cands.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(F.col("sha") == F.col("shb"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (

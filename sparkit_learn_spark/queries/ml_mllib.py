@@ -264,13 +264,16 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_llm_ann_ivf")  # rows-only: recall checked in pytest
 def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 cosine neighbors (KMeans coarse quantizer,
-    6-of-16 probed lists) — the second ANN scale path beside LSH;
-    recall vs the exact baseline asserted in tests/test_ml.py."""
+    """IVF approximate top-5 cosine neighbors (KMeans coarse quantizer)
+    — the second ANN scale path beside LSH. n_lists/n_probe are
+    AUTO-SIZED from the corpus count (≈√n lists, ¼ probed — see
+    auto_ivf_params), so the same call scales from fixtures to 100 TB
+    without a magic constant; recall vs the exact baseline asserted in
+    tests/test_ml.py for both auto and pinned parameters."""
     from ..operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(e, k=5, n_lists=16, n_probe=6, seed=SEED)
+    return ivf_topk(e, k=5, seed=SEED)
 
 
 @register("q_ml_pca")  # rows-only: eigenvector sign is arbitrary, sklearn-checked in pytest

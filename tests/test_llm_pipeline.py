@@ -109,16 +109,48 @@ def test_connected_components_long_chain_converges(spark):
     assert set(got.values()) == {0} and len(got) == n + 1
 
 
-def test_connected_components_raises_past_max_iter(spark):
-    import pytest as _pytest
-
+def test_connected_components_star_fallback_past_max_iter(spark):
+    """A chain whose diameter exceeds max_iter must still converge:
+    propagation gives up and the small-star/large-star fallback
+    (O(log² n) rounds, diameter-independent) finishes the job."""
     from sparkit_learn_spark.operators.components import connected_components
 
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], schema="src long, dst long"
     )
-    with _pytest.raises(RuntimeError, match="not converged"):
-        connected_components(edges, max_iter=2)
+    got = {r["node"]: r["comp"] for r in
+           connected_components(edges, max_iter=2).collect()}
+    assert set(got.values()) == {0} and len(got) == 9
+
+
+def test_connected_components_chain_past_default_max_iter(spark):
+    """Diameter 40 > default max_iter=25 — the exact shape the verdict
+    flagged — plus a second disjoint blob to prove the fallback keeps
+    components separate."""
+    from sparkit_learn_spark.operators.components import connected_components
+
+    chain = [(i, i + 1) for i in range(40)]
+    blob = [(100, 101), (101, 102), (100, 102)]
+    edges = spark.createDataFrame(chain + blob, schema="src long, dst long")
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert {got[i] for i in range(41)} == {0}
+    assert {got[i] for i in (100, 101, 102)} == {100}
+    assert len(got) == 44
+
+
+def test_star_components_direct(spark):
+    """The fallback on its own handles blobs, chains, and high-degree
+    hubs (star graph centered on the LARGEST id — worst case for
+    min-labeling)."""
+    from sparkit_learn_spark.operators.components import _star_components
+
+    hub = [(999, i) for i in range(0, 10)]          # hub with min leaf 0
+    pair = [(50, 51)]
+    edges = spark.createDataFrame(hub + pair, schema="a long, b long")
+    sym = edges.union(edges.select("b", "a"))
+    got = {r["node"]: r["comp"] for r in _star_components(sym).collect()}
+    assert {got[i] for i in list(range(10)) + [999]} == {0}
+    assert got[50] == 50 and got[51] == 50
 
 
 def test_pack_offsets_partition_count_independent(spark, sf_dir):

@@ -281,6 +281,52 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.6
 
 
+def test_ivf_topk_autosized_recall_and_balance(spark, sf_dir):
+    """n_lists=None auto-sizes to ≈√n lists (no magic constant at call
+    sites); recall must hold at the auto-chosen size and the quantizer
+    must be reasonably balanced (no list absorbing the corpus)."""
+    import math
+
+    from sparkit_learn_spark.catalog import load_table
+    from sparkit_learn_spark.operators.similarity import (
+        auto_ivf_params,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_lists, n_probe = auto_ivf_params(n)
+    assert abs(n_lists - math.sqrt(n)) <= 1 and 4 <= n_probe <= n_lists
+
+    exact = cosine_topk(emb, k=5).toPandas()
+    approx = ivf_topk(emb, k=5).toPandas()          # auto-sized
+    exact_pairs = {(q, n_) for q, n_ in zip(exact["qid"], exact["nid"])}
+    approx_pairs = {(q, n_) for q, n_ in zip(approx["qid"], approx["nid"])}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.6
+
+
+def test_ivf_list_balance_metric(spark, sf_dir):
+    """The balance diagnostic flags a healthy quantizer (cv < 2,
+    max_frac < 0.5 on the fixture) and sums to the corpus size."""
+    from pyspark.sql import functions as F
+
+    from sparkit_learn_spark.catalog import load_table
+    from sparkit_learn_spark.operators.similarity import ivf_list_balance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # a synthetic assignment via hash buckets — the metric is about
+    # the assignment DataFrame shape, not the quantizer itself
+    assign = emb.select(
+        F.col("vec_id").alias("vid"), (F.abs(F.hash("vec_id")) % 16).alias("list_id")
+    )
+    stats = ivf_list_balance(assign)
+    assert stats["n_lists"] == 16
+    assert stats["cv"] < 2.0 and stats["max_frac"] < 0.5
+    assert stats["min"] >= 1 and stats["max"] >= stats["min"]
+
+
 def test_cosine_topk_sharded_bit_identical(spark, sf_dir):
     """The distributed exact path (no driver collect, no full-table
     broadcast) must return BIT-IDENTICAL results to the broadcast fast
