@@ -1,10 +1,13 @@
 """Table catalog: load the driver parquet fixtures as DataFrames.
 
 Schemas per FIXTURES.md. One normalization happens at load time:
-``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark cannot
-represent; we read it as long (``nanosAsLong``) and truncate to
-microseconds — exactly what DuckDB does when it reads the same file —
-yielding a ``timestamp_ntz`` column that hash-matches the oracle.
+``events.ts`` has shipped as TIMESTAMP(NANOS) in some fixture
+generations (Spark cannot represent ns: it reads as long under
+``nanosAsLong`` and we truncate to microseconds — exactly what DuckDB
+does with the same file) and TIMESTAMP(MICROS) in others (reads as
+``timestamp_ntz`` directly, no conversion). Both paths yield the same
+``timestamp_ntz`` column that hash-matches the oracle; the branch is
+on the observed read dtype, never on an assumed file version.
 """
 
 from __future__ import annotations

@@ -77,6 +77,7 @@ def cosine_topk(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
 
     def topk_batches(batches):
         cn, cm = b_nids.value, b_C.value
+        n = len(cn)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -84,10 +85,21 @@ def cosine_topk(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
             S = np.round(Q @ cm.T, 6)
             rows = []
             for qi, qid in enumerate(pdf["qid"].to_numpy()):
-                sims = S[qi]
-                mask = cn != qid
-                idx = np.nonzero(mask)[0]
-                # stable sort on -sim keeps id order (cands id-sorted)
+                sims = S[qi].copy()
+                # self-exclusion: candidates are id-sorted, so the
+                # query's own slot is findable in O(log n)
+                self_pos = np.searchsorted(cn, qid)
+                if self_pos < n and cn[self_pos] == qid:
+                    sims[self_pos] = -np.inf
+                # O(n) top-k selection instead of a full argsort: take
+                # everything >= the k-th value (k + boundary ties, a
+                # tiny set), then stable-sort only that subset so the
+                # id tiebreak stays deterministic
+                if n > k:
+                    kth = np.partition(sims, n - k)[n - k]
+                    idx = np.nonzero(sims >= kth)[0]
+                else:
+                    idx = np.nonzero(np.isfinite(sims))[0]
                 top = idx[np.argsort(-sims[idx], kind="stable")[:k]]
                 for rn, j in enumerate(top, start=1):
                     rows.append((int(qid), int(cn[j]), float(sims[j]), rn))
@@ -278,12 +290,20 @@ def ivf_topk(emb: DataFrame, *, k: int = 5, n_lists: int | None = None,
         F.col(vec_col).alias("v"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    # random init, capped iterations: quantizer quality barely affects
-    # recall (n_probe does), and k-means|| init costs ~5× in job count
+    # random init, few iterations, SAMPLE-trained: quantizer quality
+    # barely affects recall (n_probe does), k-means|| init costs ~5x
+    # in job count, and every k-means iteration is a full pass ->
+    # train the coarse quantizer on a bounded sample (faiss does the
+    # same); assignment below still covers every vector
+    n_train_cap = max(50 * n_lists, 4096)
+    n_total = vec.count() if n_lists else 0
+    train = vec
+    if n_total > n_train_cap:
+        train = vec.sample(fraction=min(1.0, n_train_cap / n_total), seed=seed)
     km = KMeans(
         k=n_lists, seed=seed, featuresCol="features",
-        initMode="random", maxIter=10,
-    ).fit(vec)
+        initMode="random", maxIter=5,
+    ).fit(train)
     assign = km.transform(vec).select(
         "vid", "v", F.col("prediction").alias("list_id")
     )

@@ -6,6 +6,7 @@ each query + oracle with :mod:`sparkit_learn_spark.registry`.
 
 from . import aggregations  # noqa: F401
 from . import aggregations2  # noqa: F401
+from . import analytics  # noqa: F401
 from . import joins  # noqa: F401
 from . import llm_pipeline  # noqa: F401
 from . import llm_pipeline2  # noqa: F401

@@ -112,3 +112,34 @@ def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_nations"),
         )
     )
+
+
+@register(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+           ROUND(covar_pop(l_discount, l_tax), 6) AS covar_disc_tax,
+           ROUND(stddev_samp(l_extendedprice), 6) AS sd_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation and sample/
+    population covariance — the feature-relationship profile a data-
+    audit pass computes before model training.
+
+    Scale: corr/covar are single-pass algebraic aggregates (sum, sum
+    of squares, sum of products) with map-side partial merge — one
+    shuffle of 3-value keys carrying a handful of moments each,
+    identical shape to q_agg_stats regardless of row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
+        F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("covar_disc_tax"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+        F.count("*").alias("n"),
+    )

@@ -188,3 +188,64 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "w1", "w2")
         .limit(200)
     )
+
+
+#: Duplicate-passage window (tokens): non-overlapping, full windows only.
+PASSAGE_LEN = 8
+
+
+@register(
+    "q_llm_dup_passages",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    c AS (
+      SELECT doc_id, array_to_string(toks[i:i + {PASSAGE_LEN - 1}], ' ')
+               AS passage
+      FROM t, unnest(range(1, len(toks) - {PASSAGE_LEN} + 2,
+                           {PASSAGE_LEN})) AS u(i)
+      WHERE len(toks) >= {PASSAGE_LEN}
+    )
+    SELECT passage,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM c
+    GROUP BY passage
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def q_llm_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated passages: non-overlapping
+    PASSAGE_LEN-token windows that appear verbatim in more than one
+    document — the passage-level complement of whole-document dedup
+    (boilerplate headers/footers/license blocks at corpus scale).
+
+    Scale: explode is per-doc (no shuffle); the one shuffle groups by
+    passage text. Passages are short fixed-length strings, so the
+    group key is bounded; a skewed boilerplate passage is exactly what
+    the query EXISTS to find and lands in one partition as a count,
+    not a join — no quadratic risk anywhere (contrast: pairing docs
+    by shared passage would square the boilerplate bucket)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    starts = F.sequence(
+        F.lit(1), F.size("toks") - F.lit(PASSAGE_LEN) + F.lit(1), F.lit(PASSAGE_LEN)
+    )
+    c = (
+        t.filter(F.size("toks") >= PASSAGE_LEN)
+        .select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice("toks", F.col("start"), F.lit(PASSAGE_LEN)), " "
+            ).alias("passage"),
+        )
+    )
+    return (
+        c.groupBy("passage")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

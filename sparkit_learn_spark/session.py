@@ -32,6 +32,12 @@ DEFAULT_CONFS: dict[str, str] = {
     # --- scan efficiency ---
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.files.maxPartitionBytes": "128m",
+    # --- heap: local mode puts driver AND all 32 executor threads in
+    #     ONE JVM; the 1g Spark default OOMs multi-join shuffles at
+    #     sf>=1 (found empirically by tools/scale_check.py). Only
+    #     applies to sessions THIS factory creates; a cluster sizes
+    #     executors separately. Override: SPARK_GRAFT_DRIVER_MEM. ---
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 #: Confs that are safe (and necessary) to (re)apply on an existing,

@@ -32,12 +32,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch≡stream parity tests run the same downstream code. The file
     source needs a directory; pathGlobFilter selects the events file."""
     ensure_runtime_confs(spark)
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # the fixtures have shipped events.ts as both TIMESTAMP(NANOS)
+    # (reads as bigint under nanosAsLong) and TIMESTAMP(MICROS)
+    # (reads as timestamp_ntz); probe the footer via a batch read —
+    # a streaming schema cannot be inferred — and branch like the
+    # batch loader does
+    ts_type = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    cols = "event_id long, {ts}, user_id long, event_type string, value double, props string"
+    if ts_type == "bigint":  # ns-precision file
+        raw = (
+            spark.readStream.schema(cols.format(ts="ts long"))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        # LTZ (session tz = UTC), not NTZ: watermarks require TIMESTAMP;
+        # wall-clock values are identical to the batch loader's NTZ.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(cols.format(ts="ts timestamp_ntz"))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # LTZ (session tz = UTC), not NTZ: watermarks require TIMESTAMP;
-    # wall-clock values are identical to the batch loader's NTZ.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ -> LTZ cast is wall-clock-identity under the UTC session tz
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
