@@ -178,15 +178,16 @@ def minhash_banded_pairs(docs: DataFrame, *, text_col: str = "text",
     """
     n_bands = num_perm // band_rows
     sh = shingle_index(docs, text_col=text_col, id_col=id_col, k=k)
+    # SQL-string expressions: num_perm stacked-Column aggregates cost
+    # ~4 py4j round-trips each at plan-build time; one parse call each
+    # builds the identical plan ~4x faster (same fix as simhash)
     sig = sh.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.concat(F.lit(f"p{i}#"), F.col("sh")))).alias(f"m{i}")
+        *[F.expr(f"min(xxhash64(concat('p{i}#', sh))) AS m{i}")
           for i in range(num_perm)]
     )
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"m{b * band_rows + r}") for r in range(band_rows)]).alias("bh"),
-        )
+        F.expr("named_struct('band', {b}, 'bh', xxhash64({cols}))".format(
+            b=b, cols=", ".join(f"m{b * band_rows + r}" for r in range(band_rows))))
         for b in range(n_bands)
     ]
     bands = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bv")).select(

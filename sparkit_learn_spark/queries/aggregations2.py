@@ -143,3 +143,39 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_agg_argmax",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(c_name, CAST(round(c_acctbal * 100) * 10000000000
+                                + c_custkey AS BIGINT)) AS top_customer,
+           MAX(c_acctbal)                               AS top_balance,
+           arg_min(c_name, CAST(round(c_acctbal * 100) * 10000000000
+                                + c_custkey AS BIGINT)) AS bottom_customer,
+           MIN(c_acctbal)                               AS bottom_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax/argmin (max_by / min_by): the single-pass
+    "which row holds the extreme" aggregate that otherwise needs a
+    rank window + filter — one shuffle on the group key instead of a
+    window sort.
+
+    Ties broken by custkey via a scalar composite ordering value
+    (acctbal is integral at 2 decimals, so acctbal*100*1e10 + custkey
+    is strictly monotone in (acctbal, custkey) and fits a long) —
+    bare max_by on a tied value is engine-nondeterministic, and the
+    sf0.1 fixture does contain (segment, acctbal) ties."""
+    c = load_table(spark, sf_dir, "customer")
+    ordv = (F.round(F.col("c_acctbal") * 100) * F.lit(10_000_000_000)
+            + F.col("c_custkey")).cast("long")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", ordv).alias("top_customer"),
+        F.max("c_acctbal").alias("top_balance"),
+        F.min_by("c_name", ordv).alias("bottom_customer"),
+        F.min("c_acctbal").alias("bottom_balance"),
+    )

@@ -291,3 +291,53 @@ def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
     )
     return pack_sequences(toks, budget=512)
+
+
+#: Per-source sampling rates for the resample op. Sources not listed
+#: use DEFAULT_SAMPLE_RATE. Rates > 1 would mean upsampling
+#: (duplication) — this operator implements the <=1 downsampling side;
+#: upsampling is a cross-join with a replica range, same hash trick.
+RESAMPLE_RATES = {"src0": 0.25, "src1": 0.5, "src2": 0.1}
+DEFAULT_SAMPLE_RATE = 1.0
+
+
+@register(
+    "q_llm_domain_resample",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
+                         WHEN 'src2' THEN 0.1 ELSE 1.0 END AS rate,
+             (((instr('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[1:1]) - 1) * 16
+             + (instr('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[2:2]) - 1)) * 256
+             + ((instr('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[3:3]) - 1) * 16
+             + (instr('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[4:4]) - 1)))
+             / 65536.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rate AS DOUBLE) AS rate
+    FROM r WHERE u < rate
+    """,
+)
+def q_llm_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain downsampling — the APPLY step of a
+    data-mixing policy (q_llm_domain_mix computes the table the rates
+    come from): keep each doc iff uniform_hash(doc_id) < rate(source).
+    Hash-based (md5 first 16 bits -> u in [0,1)), so the sample is
+    reproducible across runs/engines and independent of partitioning —
+    unlike rand()-based sampling, which no oracle could ever match.
+
+    Scale: pure row-local projection + filter, no shuffle at all; the
+    rate table is a literal CASE (dimension-sized — at 100 TB it would
+    broadcast-join a rates dim instead, same plan shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_SAMPLE_RATE)
+    for src, r in sorted(RESAMPLE_RATES.items()):
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+         .cast("long") / F.lit(65536.0))
+    return (
+        d.select("doc_id", "source", rate.cast("double").alias("rate"), u.alias("u"))
+        .filter(F.col("u") < F.col("rate"))
+        .select("doc_id", "source", "rate")
+    )

@@ -249,3 +249,75 @@ def q_llm_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "q_llm_corpus_prep",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id, text, n_chars,
+             len(string_split(text, ' '))                 AS n_tok,
+             len(list_distinct(string_split(text, ' ')))  AS n_typ
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, text, CAST(n_tok AS BIGINT) AS n_tokens
+      FROM stats
+      WHERE n_chars BETWEEN 100 AND 500
+        AND n_tok >= 20
+        AND CAST(n_typ AS DOUBLE) / n_tok >= 0.4
+    ),
+    dedup AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+      FROM quality GROUP BY sha256(text)
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start_offset
+      FROM dedup
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / 512) AS BIGINT) AS bin_id,
+           CAST(floor((start_offset + n_tokens - 1) / 512) AS BIGINT) AS bin_end
+    FROM o
+    """,
+)
+def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation in one plan — the funnel a
+    training run actually executes: quality filter (char bounds, min
+    tokens, unique-token ratio) → exact dedup (sha2 content hash,
+    keep the smallest doc_id per group) → global sequence packing
+    (512-token budget, distributed prefix sum).
+
+    Composes the standalone operators (q_llm_doc_quality,
+    q_llm_exact_dedup, q_llm_pack_sequences) so their individually
+    verified semantics chain into one artifact: (doc_id, n_tokens,
+    start_offset, bin_id, bin_end) for every KEPT document.
+
+    Scale: the filter prunes at the scan; dedup shuffles 32-byte
+    digests, never text; packing is the two-phase distributed prefix
+    sum with O(num_partitions) driver state. No stage touches more
+    than the surviving rows."""
+    from ..operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stats = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_typ"),
+    )
+    uniq = F.col("n_typ").cast("double") / F.col("n_tok")
+    quality = stats.filter(
+        F.col("n_chars").between(100, 500) & (F.col("n_tok") >= 20) & (uniq >= 0.4)
+    ).select("doc_id", "text", F.col("n_tok").cast("long").alias("n_tokens"))
+    dedup = (
+        quality.groupBy(F.sha2("text", 256))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("n_tokens").alias("n_tokens"))
+        .select("doc_id", "n_tokens")
+    )
+    return pack_sequences(dedup, budget=512)
