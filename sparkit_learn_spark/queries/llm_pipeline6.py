@@ -1,0 +1,129 @@
+"""LLM-pipeline wave 6: model-quality measurement — per-document
+perplexity under the corpus bigram LM (the CCNet-style quality
+signal) and a confusion-matrix evaluation of the language-ID
+classifier against gold labels. Both exactly DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import tokens
+from ..registry import ORACLES, register, set_oracle
+
+
+@register(
+    "q_llm_perplexity",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    bg AS (
+      SELECT doc_id, toks[CAST(i - 1 AS INT)] AS w1, toks[CAST(i AS INT)] AS w2
+      FROM t, unnest(range(2, len(toks) + 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    uni AS (SELECT COUNT(DISTINCT tok) AS v
+            FROM (SELECT unnest(toks) AS tok FROM t)),
+    c AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+    cw AS (SELECT w1, w2, cnt,
+                  SUM(cnt) OVER (PARTITION BY w1) AS cnt_w1
+           FROM c)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln((cw.cnt + 1.0) / (cw.cnt_w1 + (SELECT v FROM uni)))), 6)
+             AS avg_nll,
+           ROUND(exp(AVG(-ln((cw.cnt + 1.0) / (cw.cnt_w1 + (SELECT v FROM uni))))), 4)
+             AS ppl
+    FROM bg b JOIN cw ON b.w1 = cw.w1 AND b.w2 = cw.w2
+    GROUP BY b.doc_id
+    """,
+)
+def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus's own add-one-smoothed
+    bigram LM: avg negative log-prob of the doc's bigrams and its exp
+    (ppl) — the classical quality-filter signal (low-ppl docs read
+    like the corpus; high-ppl docs are noise/boilerplate/other-lang).
+
+    Scale: the profile is built ONCE from the same bigram extraction
+    the docs are scored with (self-join on (w1,w2) — both sides
+    shuffle-partitioned by the pair, co-partitioned by AQE); the
+    follower-mass window partitions by w1 (vocabulary fan-out, not
+    corpus size); V broadcasts as one row. Scoring is a map-side
+    lookup join + one aggregate per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    bg = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> named_struct('w1', toks[i - 1], 'w2', toks[i]))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    cw = c.withColumn("cnt_w1", F.sum("cnt").over(Window.partitionBy("w1")))
+    v = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    nll = -F.log((F.col("cnt") + F.lit(1.0)) / (F.col("cnt_w1") + F.col("v")))
+    return (
+        bg.join(cw, ["w1", "w2"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
+        )
+    )
+
+
+@register(
+    "q_llm_lang_id_eval",
+    # the classifier's full oracle is embedded as a CTE so this eval's
+    # oracle stays exactly the oracled classifier + a gold join
+    oracle=None,  # set below after module import resolves lang_id
+)
+def q_llm_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the NB language-ID classifier against the
+    documents table's gold ``lang`` labels: (true_lang, pred_lang, n)
+    — the evaluation loop a corpus-curation pipeline runs before
+    trusting a filter model.
+
+    Scale: the classifier's own plan (vocab×lang grid, bounded by
+    vocabulary not corpus) plus one join back to gold labels on
+    doc_id and a count over a lang² key space."""
+    from .llm_pipeline2 import q_llm_lang_id
+
+    pred = q_llm_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    gold = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    return (
+        pred.join(gold, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# register the eval oracle by wrapping the classifier's registered
+# oracle as a CTE (kept textually identical so the two can never
+# drift apart); ORACLES is read directly because this module imports
+# while the queries package itself is still loading
+set_oracle(
+    "q_llm_lang_id_eval",
+    f"""
+    WITH pred AS ({ORACLES["q_llm_lang_id"]})
+    SELECT d.lang AS true_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """,
+)

@@ -32,6 +32,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+def set_oracle(name: str, oracle: str) -> None:
+    """Attach/replace the oracle of an already-registered query —
+    for oracles composed from OTHER registered oracles (e.g. an eval
+    query wrapping its classifier's SQL as a CTE), which cannot be
+    passed to @register before the referenced module finished
+    importing."""
+    if name not in QUERIES:
+        raise KeyError(f"set_oracle before registration: {name}")
+    ORACLES[name] = textwrap.dedent(oracle).strip()
+
+
 _LOADED = False
 
 
