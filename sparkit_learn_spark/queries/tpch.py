@@ -174,3 +174,68 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+#: Q5 parameters: region and order-date year window.
+Q5_REGION = "ASIA"
+Q5_LO, Q5_HI = "1996-01-01", "1997-01-01"
+
+
+@register(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q5_REGION}'
+      AND o.o_orderdate >= TIMESTAMP '{Q5_LO}'
+      AND o.o_orderdate < TIMESTAMP '{Q5_HI}'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation where the
+    customer and supplier share the nation — the classic 6-table join
+    with a non-key equality (c_nationkey = s_nationkey) that forces
+    the join ORDER to matter. Distinct from q_join_multiway, which is
+    Q5-shaped without the locality constraint.
+
+    Scale: region→nation prunes the nation dim BEFORE it broadcasts;
+    the date filter reaches the orders scan; the one fact-fact
+    exchange (orders⋈lineitem on orderkey) carries only the date-
+    surviving rows. supplier gets NO broadcast hint: it scales with
+    SF (10k rows × SF — a billion rows at SF 100k), so the planner/
+    AQE decides from its measured size; nation/region are hinted
+    because their sizes are bounded by the schema (25/5 rows)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(Q5_HI).cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )

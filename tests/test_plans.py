@@ -98,3 +98,88 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert "Bucketed: true" in plan
+
+
+def test_tpch_q10_broadcasts_nation_only(spark, sf_dir):
+    """Q10: the 25-row nation dim broadcasts; the fact-side joins stay
+    shuffle joins (at 100 TB neither orders/lineitem nor customer may
+    broadcast) — and both scan filters reach the parquet reader."""
+    plan = explain_str(Q["q_tpch_q10"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan  # returnflag filter pushed to scan
+
+
+def test_funnel_single_user_shuffle_no_python(spark, sf_dir):
+    """The funnel is one conditional-min aggregate pass: no Python
+    eval, no join chain (one per-stage join would be 4 shuffles)."""
+    plan = explain_str(Q["q_evt_funnel"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_transitions_window_is_user_partitioned(spark, sf_dir):
+    """The lead() window must partition by user_id — a global window
+    here would funnel the whole event stream through one task."""
+    plan = explain_str(Q["q_evt_transitions"](spark, sf_dir))
+    assert "Window" in plan
+    assert "partitionBy=[], " not in plan.replace("PartitionBy", "partitionBy")
+
+
+def test_corpus_prep_quality_stage_pushes_filter(spark, sf_dir):
+    """corpus_prep's final plan is a checkpoint scan (packing
+    materializes eagerly), so pushdown is asserted on its quality
+    stage — q_llm_doc_quality IS that stage's filter: the n_chars
+    bound must reach the parquet scan so unviable docs never leave
+    storage."""
+    plan = explain_str(Q["q_llm_doc_quality"](spark, sf_dir))
+    assert "PushedFilters" in plan and "n_chars" in plan
+
+
+def test_correlated_agg_decorrelates_to_join(spark, sf_dir):
+    """The correlated scalar subquery must decorrelate: the physical
+    plan is aggregate + equi-join, never a per-row subquery loop."""
+    plan = explain_str(Q["q_sub_correlated_agg"](spark, sf_dir))
+    assert "Join" in plan
+    assert "Subquery" not in plan or "SubqueryExec" not in plan
+
+
+def test_skew_join_under_powerlaw_key(spark, tmp_path):
+    """Adversarial skew: 95% of a 200k-row fact carries ONE key. The
+    explicit salted join must (a) spread the hot key across salt
+    partitions — no single task holds the hot key whole — and
+    (b) return exactly the plain join's rows. AQE's runtime skew
+    split is asserted enabled (the first-line defense; salting is the
+    guardrail when even split partitions overwhelm a task)."""
+    import pandas as pd
+
+    from sparkit_learn_spark.operators.skew import salted_join
+
+    n, hot = 200_000, 7
+    pdf = pd.DataFrame({
+        "k": [hot] * (n * 95 // 100) + list(range(100, 100 + n * 5 // 100)),
+        "v": range(n),
+    })
+    large = spark.createDataFrame(pdf).repartition(8)
+    small = spark.createDataFrame(
+        [(hot, "hotdim")] + [(100 + i, f"d{i}") for i in range(50)],
+        "k long, name string",
+    )
+    got = salted_join(large, small, "k", n_salts=8).toPandas()
+    expect = large.join(small, "k").toPandas()
+    key = ["k", "v"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[["k", "v", "name"]],
+        expect.sort_values(key).reset_index(drop=True)[["k", "v", "name"]],
+    )
+    # the hot key's rows really are spread over multiple salt buckets
+    from pyspark.sql import functions as F
+    salted = large.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in large.columns], F.lit(42)),
+               F.lit(8)).cast("int"),
+    )
+    n_buckets = (salted.filter(F.col("k") == hot)
+                 .select("_salt").distinct().count())
+    assert n_buckets == 8
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
