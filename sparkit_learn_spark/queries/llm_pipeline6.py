@@ -127,3 +127,57 @@ set_oracle(
     GROUP BY 1, 2
     """,
 )
+
+
+@register(
+    "q_llm_bpe_pairs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    w AS (SELECT unnest(toks) AS word FROM t),
+    chars AS (
+      SELECT word, string_split(word, '') AS cs
+      FROM w WHERE len(word) >= 2
+    ),
+    pairs AS (
+      SELECT cs[CAST(i AS INT)] || cs[CAST(i + 1 AS INT)] AS pair
+      FROM chars, unnest(range(1, len(cs))) AS u(i)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs
+    GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 50
+    """,
+)
+def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent character-pair counts over the corpus — the
+    statistic one BPE merge iteration is chosen from (tokenizer
+    training's inner loop; iterating = re-running over the merged
+    vocabulary). Count-then-lexicographic ordering, deterministic
+    cross-engine.
+
+    Scale: per-word character pairs come from one generator expression
+    (split + transform/sequence — no shuffle until the count); the
+    aggregation key space is bounded by alphabet², so the shuffle is
+    tiny regardless of corpus size and combines map-side. The
+    full-merge-loop variant would checkpoint the re-tokenized corpus
+    per iteration, same plan per step."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(tokens("text")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(50)
+    )
