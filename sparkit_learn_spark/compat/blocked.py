@@ -366,28 +366,37 @@ class SparseTable:
         return ((r["r"] or -1) + 1, (r["c"] or -1) + 1)
 
     # -- distributed math -----------------------------------------
-    def sum(self, axis: int | None = None):
+    def sum(self, axis: int | None = None, n_cols: int | None = None):
         """[ref: SparseRDD.sum · C:M] — scalar or per-column sums over
-        nonzeros (zeros contribute nothing, so COO sums are exact)."""
+        nonzeros (zeros contribute nothing, so COO sums are exact).
+
+        axis=0 returns a length-``n_cols`` vector (default: the
+        inferred ``shape[1]``), matching scipy's dense semantics —
+        trailing all-zero columns are REPRESENTED as zeros, not
+        silently dropped (they would be if the output were sized from
+        the max nonzero column of the sums alone)."""
         if axis is None:
             return float(self.df.agg(F.sum(self.val_col)).first()[0] or 0.0)
         if axis != 0:
             raise ValueError("axis must be None or 0")
+        d = n_cols if n_cols is not None else self.shape[1]
         rows = (self.df.groupBy(self.col_col)
                 .agg(F.sum(self.val_col).alias("s")).collect())
-        out = np.zeros(max((r[0] for r in rows), default=-1) + 1)
+        out = np.zeros(max(d, max((r[0] for r in rows), default=-1) + 1))
         for r in rows:
             out[r[0]] = r["s"]
         return out
 
-    def mean(self, axis: int | None = None, n_rows: int | None = None):
+    def mean(self, axis: int | None = None, n_rows: int | None = None,
+             n_cols: int | None = None):
         """Dense-semantics mean: divides by the DENSE element count
         (n_rows × n_cols for axis=None, n_rows for axis=0), which is
-        what scipy's .mean() does. ``n_rows`` overrides the inferred
-        row count when trailing all-zero rows exist."""
+        what scipy's .mean() does. ``n_rows``/``n_cols`` override the
+        inferred shape when trailing all-zero rows/columns exist."""
         n, d = self.shape
         n = n_rows if n_rows is not None else n
-        s = self.sum(axis)
+        d = n_cols if n_cols is not None else d
+        s = self.sum(axis, n_cols=d) if axis == 0 else self.sum(axis)
         if axis is None:
             return s / (n * d) if n and d else 0.0
         return s / n if n else s

@@ -27,6 +27,13 @@ from ..functions.vector import dot
 #: routes to the sharded path instead of OOMing the driver.
 DEFAULT_MAX_BROADCAST_ROWS = 100_000
 
+#: Below this many candidates a single stable argsort beats the O(n)
+#: partition-select's extra passes (measured at sf0.1: select cost
+#: +0.4 s on 2k candidates; at sf1/20k select wins 2.8x). Both
+#: branches return identical rows, so the cutover is purely a
+#: constant-factor choice.
+ARGSORT_CUTOVER = 4096
+
 
 def _topk_rows(scored: DataFrame, k: int) -> DataFrame:
     """Global deterministic top-k per query over (qid, nid, sim)."""
@@ -91,15 +98,20 @@ def cosine_topk(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
                 self_pos = np.searchsorted(cn, qid)
                 if self_pos < n and cn[self_pos] == qid:
                     sims[self_pos] = -np.inf
-                # O(n) top-k selection instead of a full argsort: take
-                # everything >= the k-th value (k + boundary ties, a
-                # tiny set), then stable-sort only that subset so the
-                # id tiebreak stays deterministic
-                if n > k:
+                # top-k selection, branched on candidate count: the
+                # O(n) partition-select (everything >= the k-th value,
+                # then stable-sort the tiny boundary subset) wins at
+                # sf1 scale (72 s -> 26 s measured) but its extra
+                # passes LOSE to one stable argsort below a few
+                # thousand candidates (0.4 s at sf0.1, measured r4).
+                # Both branches produce identical rows: candidates are
+                # id-sorted and the sort is stable, so ties break by
+                # lower nid either way.
+                if n <= k or n <= ARGSORT_CUTOVER:
+                    idx = np.nonzero(np.isfinite(sims))[0]
+                else:
                     kth = np.partition(sims, n - k)[n - k]
                     idx = np.nonzero(sims >= kth)[0]
-                else:
-                    idx = np.nonzero(np.isfinite(sims))[0]
                 top = idx[np.argsort(-sims[idx], kind="stable")[:k]]
                 for rn, j in enumerate(top, start=1):
                     rows.append((int(qid), int(cn[j]), float(sims[j]), rn))
@@ -210,15 +222,26 @@ def ann_lsh_neighbors(emb: DataFrame, *, radius: float = 1.0,
 def auto_ivf_params(n: int) -> tuple[int, int]:
     """(n_lists, n_probe) sized from the corpus count: n_lists ≈ √n
     (balances probe fan-out against per-list matmul size — each task
-    scores ~n/n_lists vectors), clamped to [4, 4096]; n_probe = ⅓ of
-    the lists, floor 4 — a third of the corpus touched, which holds
-    recall ≥0.6 even on UNclustered random vectors (the worst case for
-    a coarse quantizer; measured on the random-embedding fixture) and
-    well above that on real clustered embeddings."""
+    scores ~n/n_lists vectors), clamped to [4, 4096]; n_probe ≈
+    √n_lists, floor 4.
+
+    The probe schedule is O(√n_lists), NOT a fixed fraction of the
+    lists: a fractional default (r4 used ⅓) scores a constant share
+    of the ENTIRE corpus per query — at 10⁹ vectors that is brute
+    force with extra steps. √n_lists keeps the scanned share shrinking
+    as the corpus grows (n^(1/4)/n^(1/2) of lists → scanned fraction
+    ~n^(-1/4)) while still probing every list the quantizer puts real
+    neighbor mass in: recall ≥ 0.6 at the auto default is calibrated
+    and asserted on a CLUSTERED mixture-of-Gaussians fixture
+    (tests/test_ml.py::test_ivf_topk_autosized_recall_and_balance) —
+    clustered data is the workload IVF exists for; uniform random
+    vectors (the quantizer's theoretical worst case, where no
+    sublinear index can beat a corpus scan) are covered by the
+    pinned-parameter recall test instead."""
     import math
 
     n_lists = max(4, min(4096, round(math.sqrt(max(n, 1)))))
-    n_probe = max(4, min(n_lists, round(n_lists / 3)))
+    n_probe = max(4, min(n_lists, round(math.sqrt(n_lists))))
     return n_lists, n_probe
 
 
@@ -278,12 +301,16 @@ def ivf_topk(emb: DataFrame, *, k: int = 5, n_lists: int | None = None,
 
     from pyspark.ml.clustering import KMeans
 
+    import math as _math
+
+    n_total: int | None = None  # counted at most ONCE per call
     if n_lists is None:
-        n_lists, auto_probe = auto_ivf_params(emb.count())
+        n_total = emb.count()
+        n_lists, auto_probe = auto_ivf_params(n_total)
         if n_probe is None:
             n_probe = auto_probe
     elif n_probe is None:
-        n_probe = max(4, min(n_lists, round(n_lists / 3)))
+        n_probe = max(4, min(n_lists, round(_math.sqrt(n_lists))))
 
     vec = emb.select(
         F.col(id_col).alias("vid"),
@@ -296,7 +323,8 @@ def ivf_topk(emb: DataFrame, *, k: int = 5, n_lists: int | None = None,
     # train the coarse quantizer on a bounded sample (faiss does the
     # same); assignment below still covers every vector
     n_train_cap = max(50 * n_lists, 4096)
-    n_total = vec.count() if n_lists else 0
+    if n_total is None:  # explicit n_lists path — the one count this call pays
+        n_total = vec.count()
     train = vec
     if n_total > n_train_cap:
         train = vec.sample(fraction=min(1.0, n_train_cap / n_total), seed=seed)

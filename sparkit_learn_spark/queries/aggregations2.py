@@ -120,7 +120,7 @@ def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
            ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
-           ROUND(covar_pop(l_discount, l_tax), 6) AS covar_disc_tax,
+           ROUND(covar_pop(l_discount, l_tax) * 1e6, 6) + 0.0 AS covar_disc_tax_e6,
            ROUND(stddev_samp(l_extendedprice), 6) AS sd_price,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
@@ -134,12 +134,20 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: corr/covar are single-pass algebraic aggregates (sum, sum
     of squares, sum of products) with map-side partial merge — one
     shuffle of 3-value keys carrying a handful of moments each,
-    identical shape to q_agg_stats regardless of row count."""
+    identical shape to q_agg_stats regardless of row count.
+
+    covar_pop(l_discount, l_tax) is O(1e-7) at fixture scales, so it
+    is scaled to micro-units BEFORE the 6dp round (same precedent as
+    q_agg_stats' var-in-millions): rounding the raw value lands on
+    ZERO, where DuckDB keeps IEEE -0.0 but Spark's BigDecimal HALF_UP
+    round has no signed zero — a guaranteed cross-engine hash split
+    (the r4 driver failure)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
-        F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("covar_disc_tax"),
+        (F.round(F.covar_pop("l_discount", "l_tax") * 1e6, 6) + F.lit(0.0))
+        .alias("covar_disc_tax_e6"),
         F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
         F.count("*").alias("n"),
     )
@@ -149,11 +157,11 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_argmax",
     oracle="""
     SELECT c_mktsegment,
-           arg_max(c_name, CAST(round(c_acctbal * 100) * 10000000000
-                                + c_custkey AS BIGINT)) AS top_customer,
+           arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT)
+                           * 10000000000 + c_custkey)  AS top_customer,
            MAX(c_acctbal)                               AS top_balance,
-           arg_min(c_name, CAST(round(c_acctbal * 100) * 10000000000
-                                + c_custkey AS BIGINT)) AS bottom_customer,
+           arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT)
+                           * 10000000000 + c_custkey)  AS bottom_customer,
            MIN(c_acctbal)                               AS bottom_balance
     FROM customer
     GROUP BY c_mktsegment
@@ -169,10 +177,16 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     (acctbal is integral at 2 decimals, so acctbal*100*1e10 + custkey
     is strictly monotone in (acctbal, custkey) and fits a long) —
     bare max_by on a tied value is engine-nondeterministic, and the
-    sf0.1 fixture does contain (segment, acctbal) ties."""
+    sf0.1 fixture does contain (segment, acctbal) ties.
+
+    The composite is built in INTEGER space: round() is cast to long
+    BEFORE the *1e10 multiply. Doubles past 2^53 have spacing 2, so a
+    double-space composite would collide adjacent custkeys whenever
+    acctbal*100*1e10 exceeds ~9.0e15 (acctbal > ~9007) and the
+    tie-break would silently go nondeterministic again."""
     c = load_table(spark, sf_dir, "customer")
-    ordv = (F.round(F.col("c_acctbal") * 100) * F.lit(10_000_000_000)
-            + F.col("c_custkey")).cast("long")
+    ordv = (F.round(F.col("c_acctbal") * 100).cast("long")
+            * F.lit(10_000_000_000) + F.col("c_custkey"))
     return c.groupBy("c_mktsegment").agg(
         F.max_by("c_name", ordv).alias("top_customer"),
         F.max("c_acctbal").alias("top_balance"),

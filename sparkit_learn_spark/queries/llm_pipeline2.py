@@ -100,7 +100,7 @@ def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(toks) >= 5
     ),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY doc_id),
-    rare AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(*) <= 100),
+    rare AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(DISTINCT doc_id) <= 100),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -418,17 +418,25 @@ def q_llm_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
       WHERE len(toks) >= 5
     ),
-    rare AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(*) <= 100),
+    rare AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(DISTINCT doc_id) <= 100),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
       WHERE a.sh IN (SELECT sh FROM rare)
+    ),
+    gated AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cands c
+      JOIN documents la ON la.doc_id = c.doc_a
+      JOIN documents lb ON lb.doc_id = c.doc_b
+      WHERE abs(la.n_chars - lb.n_chars) * 5
+            <= greatest(la.n_chars, lb.n_chars)
     )
-    SELECT c.doc_a, c.doc_b,
+    SELECT g.doc_a, g.doc_b,
            CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
-    FROM cands c
-    JOIN documents ta ON ta.doc_id = c.doc_a
-    JOIN documents tb ON tb.doc_id = c.doc_b
+    FROM gated g
+    JOIN documents ta ON ta.doc_id = g.doc_a
+    JOIN documents tb ON tb.doc_id = g.doc_b
     """,
 )
 def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,18 +447,39 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs last in the funnel (hash → sketch → jaccard → edit distance).
     Candidate generation df-caps viral shingles (see
     operators.dedup.shingle_candidate_pairs); the DuckDB oracle mirrors
-    the cap (rare/cands CTEs) so both engines agree at any scale."""
+    the cap (rare/cands CTEs) so both engines agree at any scale.
+
+    LENGTH GATE before the levenshtein stage: levenshtein(a, b) >=
+    |len(a) - len(b)|, so any pair whose lengths differ by more than
+    20% of the longer text cannot be a near-dup — it is dropped
+    BEFORE its texts are joined or compared. The gate joins only the
+    (doc_id, n_chars) projection (two ints per doc), so the pruned
+    pairs never shuffle text at all; the predicate is pure integer
+    arithmetic (|Δ|·5 <= max) and is mirrored verbatim in the
+    oracle's gated CTE, so both engines agree at any scale. At sf1
+    the fixture's replicated near-dups made pair density the whole
+    cost (371k pairs, 197 s) — the gate bounds the O(len²) stage to
+    plausibly-duplicate pairs only."""
     from ..operators.dedup import shingle_candidate_pairs, shingle_index
 
     d = load_table(spark, sf_dir, "documents")
     cands = shingle_candidate_pairs(shingle_index(d, k=5))
+    la = d.select(F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("ca"))
+    lb = d.select(F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("cb"))
+    gated = (
+        cands.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.abs(F.col("ca") - F.col("cb")) * 5
+                <= F.greatest("ca", "cb"))
+        .select("doc_a", "doc_b")
+    )
     # text joins by SHUFFLE on the id, not broadcast: a 100 TB document
     # table never fits an executor; AQE may still choose broadcast when
     # the fixture side is actually small — that is size-based, not forced
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     return (
-        cands.join(ta, "doc_a")
+        gated.join(ta, "doc_a")
         .join(tb, "doc_b")
         .select(
             "doc_a",

@@ -266,8 +266,8 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 cosine neighbors (KMeans coarse quantizer)
     — the second ANN scale path beside LSH. n_lists/n_probe are
-    AUTO-SIZED from the corpus count (≈√n lists, ¼ probed — see
-    auto_ivf_params), so the same call scales from fixtures to 100 TB
+    AUTO-SIZED from the corpus count (≈√n lists, ≈√n_lists probed —
+    see auto_ivf_params), so the same call scales from fixtures to 100 TB
     without a magic constant; recall vs the exact baseline asserted in
     tests/test_ml.py for both auto and pinned parameters."""
     from ..operators.similarity import ivf_topk

@@ -38,8 +38,12 @@ def _cell(v: Any) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v == 0.0:
-            v = 0.0  # normalize -0.0
+        # NO -0.0 normalization: the driver's value hash distinguishes
+        # -0.0 from +0.0 (proved by the r4 q_agg_corr driver FAIL that
+        # this gate, which then normalized, let through). The local
+        # replica must be exactly as strict — queries whose rounded
+        # floats can land on negative zero must scale or +0.0-guard
+        # the expression in BOTH engines instead.
         return f"{v:.6f}"
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_cell(x) for x in v) + "]"

@@ -150,6 +150,22 @@ def test_sparse_sum_mean(spark, S):
     np.testing.assert_allclose(st.mean(axis=0), S.mean(axis=0))
 
 
+def test_sparse_sum_mean_trailing_zero_columns(spark, S):
+    """scipy dense semantics: axis-0 sums/means are length-d vectors
+    even when the TRAILING columns hold no nonzeros — they must come
+    back as explicit zeros, not be silently truncated."""
+    from sparkit_learn_spark.compat import SparseTable
+
+    Z = S.copy()
+    Z[:, -2:] = 0.0                       # kill the last two columns
+    st = SparseTable.from_dense(spark, Z)
+    # COO cannot see all-zero trailing columns, so the caller passes
+    # the true width (mirroring the existing n_rows override)
+    np.testing.assert_allclose(st.sum(axis=0, n_cols=Z.shape[1]), Z.sum(axis=0))
+    np.testing.assert_allclose(st.mean(axis=0, n_cols=Z.shape[1]), Z.mean(axis=0))
+    assert len(st.sum(axis=0, n_cols=Z.shape[1])) == Z.shape[1]
+
+
 def test_sparse_dot_matches_numpy(spark, S):
     from sparkit_learn_spark.compat import SparseTable
 
