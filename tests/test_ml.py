@@ -383,6 +383,11 @@ def test_ivf_topk_is_collect_free(spark, sf_dir):
     assert ".collect()" not in src
     src_sharded = inspect.getsource(similarity.cosine_topk_sharded)
     assert ".collect()" not in src_sharded
+    # the quantizer trainer MAY collect — but only through a limit()
+    # that bakes the DRIVER_TRAIN_CAP bound into the plan
+    src_train = inspect.getsource(similarity._train_coarse_quantizer)
+    assert ".limit(DRIVER_TRAIN_CAP).collect()" in src_train
+    assert src_train.count(".collect()") == 1
 
 
 def test_approx_quantiles_error_bound(spark, sf_dir, duck):
