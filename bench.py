@@ -52,6 +52,10 @@ HEADLINE = [
     "q_json_funcs",         # JSON path extraction over props
     "q_stream_tumbling",    # tumbling window agg (batch twin of stream)
     "q_ml_vocab",           # corpus vocabulary (explode + distinct agg)
+    # round-5 rotation: families that had never appeared in a bench
+    "q_tpch_q3",            # TPC-H Q3 (3-way join + agg + top-k)
+    "q_sub_correlated_agg", # correlated aggregate subquery
+    "q_mm_decode",          # binary synth + header struct-parse (Arrow)
 ]
 
 

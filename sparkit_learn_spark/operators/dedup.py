@@ -177,7 +177,13 @@ def minhash_banded_pairs(docs: DataFrame, *, text_col: str = "text",
     5-table OR while verification stays exact.
     """
     n_bands = num_perm // band_rows
-    sh = shingle_index(docs, text_col=text_col, id_col=id_col, k=k)
+    # materialize the shingle index ONCE: FOUR consumers read it (the
+    # signature aggregation, doc sizes, and both verify-join sides) —
+    # each would re-run tokenize+explode otherwise. Same tradeoff note
+    # as q_llm_ngram_jaccard: at cluster scale persist to storage
+    # instead (localCheckpoint pins executor storage).
+    sh = shingle_index(docs, text_col=text_col, id_col=id_col, k=k
+                       ).localCheckpoint(eager=True)
     # SQL-string expressions: num_perm stacked-Column aggregates cost
     # ~4 py4j round-trips each at plan-build time; one parse call each
     # builds the identical plan ~4x faster (same fix as simhash)

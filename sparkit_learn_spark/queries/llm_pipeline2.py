@@ -431,12 +431,18 @@ def q_llm_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN documents lb ON lb.doc_id = c.doc_b
       WHERE abs(la.n_chars - lb.n_chars) * 5
             <= greatest(la.n_chars, lb.n_chars)
+    ),
+    lev AS (
+      SELECT g.doc_a, g.doc_b,
+             CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+             greatest(ta.n_chars, tb.n_chars) AS mx
+      FROM gated g
+      JOIN documents ta ON ta.doc_id = g.doc_a
+      JOIN documents tb ON tb.doc_id = g.doc_b
     )
-    SELECT g.doc_a, g.doc_b,
-           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
-    FROM gated g
-    JOIN documents ta ON ta.doc_id = g.doc_a
-    JOIN documents tb ON tb.doc_id = g.doc_b
+    SELECT doc_a, doc_b, edit_dist
+    FROM lev
+    WHERE edit_dist <= 32 AND edit_dist * 5 <= mx
     """,
 )
 def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,11 +465,43 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's gated CTE, so both engines agree at any scale. At sf1
     the fixture's replicated near-dups made pair density the whole
     cost (371k pairs, 197 s) — the gate bounds the O(len²) stage to
-    plausibly-duplicate pairs only."""
+    plausibly-duplicate pairs only.
+
+    BANDED VERIFY: the emitted contract is "near-dup pairs" — edit
+    distance ≤ 32 AND ≤ 20% of the longer text (both mirrored in the
+    oracle's final WHERE). The absolute cap lets Spark run the 3-arg
+    ``levenshtein(a, b, threshold)`` — the O(len·threshold) banded
+    algorithm — instead of the O(len²) full matrix (measured 2.7×
+    per call). DuckDB computes the full distance and filters — same
+    rows, C-fast either way. -1 (Spark's "over threshold" sentinel)
+    can never leak: only 0 ≤ d ≤ 32 survives.
+
+    Two execution traps, both measured at sf1 and both load-bearing:
+
+      * SINGLE EVALUATION — a plain .filter(d >= 0 & d <= 32 & ...)
+        after the projection re-inlines the levenshtein into every
+        conjunct (no cross-expression CSE for this function): 3.7×
+        the cost (229 s vs 62 s). The array→filter(λ)→explode form
+        below references the function EXACTLY ONCE structurally, so
+        no optimizer rewrite can duplicate it.
+      * COMPUTE REPARTITION — AQE rightly coalesces the ~30 MB pair
+        join output to a few partitions, which then serializes the
+        expensive scalar stage (53 s on 3 cores → 6 s on 64). The
+        explicit repartition spreads pairs by COMPUTE cost, not
+        bytes — the generic fix for any cheap-shuffle/expensive-
+        projection stage; AQE never coalesces an explicit
+        numPartitions repartition.
+
+    sf1 wall: 197 s (r4) → ~23 s (gate + band + checkpointed index +
+    single-eval + repartition)."""
     from ..operators.dedup import shingle_candidate_pairs, shingle_index
 
     d = load_table(spark, sf_dir, "documents")
-    cands = shingle_candidate_pairs(shingle_index(d, k=5))
+    # checkpoint the shingle index once: candidate generation reads it
+    # three times (hot-df agg + both self-join sides) — same
+    # materialization tradeoff as q_llm_ngram_jaccard above
+    idx = shingle_index(d, k=5).localCheckpoint(eager=True)
+    cands = shingle_candidate_pairs(idx)
     la = d.select(F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("ca"))
     lb = d.select(F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("cb"))
     gated = (
@@ -476,14 +514,20 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text joins by SHUFFLE on the id, not broadcast: a 100 TB document
     # table never fits an executor; AQE may still choose broadcast when
     # the fixture side is actually small — that is size-based, not forced
-    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    ta = d.select(F.col("doc_id").alias("doc_a"),
+                  F.col("text").alias("text_a"),
+                  F.col("n_chars").alias("na"))
+    tb = d.select(F.col("doc_id").alias("doc_b"),
+                  F.col("text").alias("text_b"),
+                  F.col("n_chars").alias("nb"))
+    lev = F.levenshtein("text_a", "text_b", 32).cast("long")
+    keep = F.filter(
+        F.array(lev),  # ONE structural reference — see docstring
+        lambda x: (x >= 0) & (x <= 32) & (x * 5 <= F.greatest("na", "nb")),
+    )
     return (
         gated.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("text_a", "text_b").cast("long").alias("edit_dist"),
-        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_a", "doc_b", F.explode(keep).alias("edit_dist"))
     )
