@@ -35,6 +35,20 @@ DEFAULT_MAX_BROADCAST_ROWS = 100_000
 ARGSORT_CUTOVER = 4096
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Guarantee at least ``defaultParallelism`` partitions ahead of an
+    expensive per-row compute stage (a BLAS matmul per Arrow batch):
+    a small parquet input arrives in 1-2 row-group partitions, which
+    would serialize the scoring onto 1-2 cores (measured at sf1: the
+    20k-vector corpus reads as 2 partitions → 43.6 s; spread → ~14 s).
+    At corpus scale the input already has more partitions than cores,
+    so this is a structural no-op there — the repartition only fires
+    exactly when the data is small enough for its shuffle to be free."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def _topk_rows(scored: DataFrame, k: int) -> DataFrame:
     """Global deterministic top-k per query over (qid, nid, sim)."""
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "nid")
@@ -117,7 +131,7 @@ def cosine_topk(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
                     rows.append((int(qid), int(cn[j]), float(sims[j]), rn))
             yield pd.DataFrame(rows, columns=["qid", "nid", "sim", "rn"])
 
-    q = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vb"))
+    q = _spread(emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vb")))
     return q.mapInPandas(topk_batches, schema="qid long, nid long, sim double, rn long")
 
 
@@ -359,11 +373,12 @@ def ivf_topk(emb: DataFrame, *, k: int = 5, n_lists: int | None = None,
         n_probe = max(4, min(n_lists, round(_math.sqrt(n_lists))))
 
     # array<double> at the source: lossless upcast for float inputs,
-    # one cast instead of per-stage numpy conversions downstream
-    vec = emb.select(
+    # one cast instead of per-stage numpy conversions downstream;
+    # _spread keeps the route matmul off a 1-2 partition parquet read
+    vec = _spread(emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ))
     # quantizer quality barely affects recall (n_probe does), and every
     # k-means iteration over the corpus is a full pass -> train on a
     # BOUNDED sample (faiss does the same); assignment below still

@@ -237,11 +237,19 @@ def test_stable_sorted_ids_releases_intermediate_cache(spark, sf_dir):
         .distinct()
     )
     jsc = spark.sparkContext._jsc
-    base = jsc.getPersistentRDDs().size()
+
+    def rdd_ids() -> set:
+        # id SETS, not counts: the async ContextCleaner may unpersist
+        # other tests' dead checkpoints between measurements, so an
+        # absolute size comparison is flaky in full-suite order
+        return set(jsc.getPersistentRDDs().keySet().toArray())
+
+    ids0 = rdd_ids()
     out1 = stable_sorted_ids(terms, "term", num_partitions=7)
-    assert jsc.getPersistentRDDs().size() == base + 1
+    assert len(rdd_ids() - ids0) == 1
+    ids1 = rdd_ids()
     out2 = stable_sorted_ids(terms, "term", num_partitions=7)
-    assert jsc.getPersistentRDDs().size() == base + 2
+    assert len(rdd_ids() - ids1) == 1
     assert out1.count() == out2.count()
 
 
