@@ -295,34 +295,49 @@ def ivf_list_balance(assign: DataFrame, list_col: str = "list_id") -> dict:
 DRIVER_TRAIN_CAP = 32_768
 
 
+def _collect_bounded_sample(train: DataFrame):
+    """Training sample as a local float64 matrix — bounded BY
+    CONSTRUCTION: the limit() bakes DRIVER_TRAIN_CAP into the plan, so
+    this collect can never exceed the cap no matter what the caller
+    passed. O(cap·d) driver memory, independent of corpus size."""
+    import numpy as np
+
+    rows = train.select("v").limit(DRIVER_TRAIN_CAP).collect()
+    return np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
+
+
+def _lloyd(X, k: int, *, seed: int, iters: int = 10):
+    """Vectorized numpy Lloyd's k-means over a LOCAL sample matrix:
+    random init from the sample, empty clusters re-seeded. Returns
+    min(k, len(X)) × d centroids."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    kk = min(k, len(X))
+    C = X[rng.choice(len(X), size=kk, replace=False)].copy()
+    x2 = (X ** 2).sum(1)
+    for _ in range(iters):
+        d2 = x2[:, None] - 2.0 * (X @ C.T) + (C ** 2).sum(1)[None, :]
+        lab = d2.argmin(1)
+        for j in range(kk):
+            m = lab == j
+            C[j] = X[m].mean(0) if m.any() else X[rng.integers(len(X))]
+    return C
+
+
 def _train_coarse_quantizer(train: DataFrame, n_lists: int, *,
                             seed: int, n_train: int):
     """n_lists×d centroid ndarray for the IVF coarse quantizer.
 
     ``train`` is the (already sample-capped) training slice with a
     ``v`` array column. Small samples train driver-side (numpy
-    Lloyd's, 10 iterations, empty lists re-seeded); larger ones fall
-    back to distributed MLlib KMeans. Either way only the centroid
-    matrix reaches the caller."""
+    Lloyd's, 10 iterations — see _collect_bounded_sample/_lloyd);
+    larger ones fall back to distributed MLlib KMeans. Either way only
+    the centroid matrix reaches the caller."""
     import numpy as np
 
     if n_train <= DRIVER_TRAIN_CAP:
-        # bounded BY CONSTRUCTION: the limit() bakes the cap into the
-        # plan, so this collect can never exceed DRIVER_TRAIN_CAP rows
-        # no matter what the caller passed
-        rows = train.select("v").limit(DRIVER_TRAIN_CAP).collect()
-        X = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
-        rng = np.random.default_rng(seed)
-        kk = min(n_lists, len(X))
-        C = X[rng.choice(len(X), size=kk, replace=False)].copy()
-        x2 = (X ** 2).sum(1)
-        for _ in range(10):
-            d2 = x2[:, None] - 2.0 * (X @ C.T) + (C ** 2).sum(1)[None, :]
-            lab = d2.argmin(1)
-            for j in range(kk):
-                m = lab == j
-                C[j] = X[m].mean(0) if m.any() else X[rng.integers(len(X))]
-        return C
+        return _lloyd(_collect_bounded_sample(train), n_lists, seed=seed)
 
     from pyspark.ml.clustering import KMeans
 
@@ -464,5 +479,184 @@ def ivf_topk(emb: DataFrame, *, k: int = 5, n_lists: int | None = None,
         routed.groupBy("list_id")
         .applyInPandas(lambda _, pdf: score_list(pdf),
                        schema="qid long, nid long, sim double")
+    )
+    return _topk_rows(scored, k)
+
+
+def ivf_pq_topk(emb: DataFrame, *, k: int = 5, n_lists: int | None = None,
+                n_probe: int | None = None, m_subspaces: int = 8,
+                n_codes: int = 256, refine: int = 4,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                seed: int = 42) -> DataFrame:
+    """IVF-PQ approximate top-k cosine neighbors with EXACT re-rank:
+    (qid, nid, sim, rn) — the compressed-index ANN shape for corpora
+    whose raw vectors are too big to shuffle.
+
+    Why it exists beside :func:`ivf_topk`: plain IVF still shuffles
+    the full d-dim float vectors into the scoring stage — 512 B/vector
+    at d=64 float64, i.e. the scoring shuffle IS the corpus. Product
+    quantization stores each vector as ``m_subspaces`` one-byte
+    codebook indices (8 B/vector here, a 64× cut): split d into m
+    subspaces, k-means each subspace of the coarse RESIDUAL
+    (x − centroid(list(x))) into ``n_codes`` codes (the faiss IVFPQ
+    layout). Scoring is ADC (asymmetric distance computation): per
+    query and subspace, one q·codebook lookup table (m × n_codes),
+    then every corpus score is ``q·c_list + Σ_m T_m[code_m]`` — table
+    lookups, no vector math per candidate.
+
+    PQ scores are approximations, so the top ``k·refine`` candidates
+    per query are RE-RANKED exactly: candidate (qid, nid) pairs join
+    the true vectors by id (candidate-sized, not corpus-sized) and the
+    exact JVM dot decides the final top-k with the same 6dp-round +
+    nid tiebreak as every other path. Recall ≥ 0.6 at auto sizing is
+    asserted on the clustered calibration fixture (tests/test_ml.py).
+
+    Driver state: coarse centroids (n_lists×d) + codebooks
+    (m × n_codes × d/m ≈ n_codes·d) — both corpus-size-independent;
+    training uses the bounded sample only (_collect_bounded_sample).
+    Shuffle: corpus once as (id, 8-byte codes); queries n_probe× with
+    their vector (queries are the small side by construction);
+    candidates 2× for the exact refine join.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if n_lists is None:
+        n_total = emb.count()
+        n_lists, auto_probe = auto_ivf_params(n_total)
+        if n_probe is None:
+            n_probe = auto_probe
+    else:
+        n_total = None
+        if n_probe is None:
+            n_probe = max(4, min(n_lists, round(math.sqrt(n_lists))))
+
+    vec = _spread(emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ))
+    n_train_cap = max(50 * n_lists, 4096)
+    if n_total is None:
+        n_total = vec.count()
+    train = vec
+    if n_total > n_train_cap:
+        train = vec.sample(fraction=min(1.0, n_train_cap / n_total), seed=seed)
+    X = _collect_bounded_sample(train)
+    d = X.shape[1]
+    if d % m_subspaces:
+        raise ValueError(f"dim {d} not divisible by m_subspaces={m_subspaces}")
+    ds = d // m_subspaces
+
+    C = _lloyd(X, n_lists, seed=seed)                       # coarse centroids
+    lab = ((X ** 2).sum(1)[:, None] - 2.0 * (X @ C.T)
+           + (C ** 2).sum(1)[None, :]).argmin(1)
+    R = X - C[lab]                                          # residuals
+    books = [_lloyd(R[:, s * ds:(s + 1) * ds], n_codes, seed=seed + 1 + s)
+             for s in range(m_subspaces)]
+    sc = emb.sparkSession.sparkContext
+    b_C = sc.broadcast(C)
+    b_books = sc.broadcast(books)
+
+    def encode_route(batches):
+        """ONE corpus pass emits both index sides: corpus rows carry
+        CODES ONLY (role=0 — the vector never enters the scoring
+        shuffle), query rows carry the vector to their n_probe lists
+        (role=1)."""
+        Cl = b_C.value
+        bks = b_books.value
+        c2 = (Cl ** 2).sum(1)
+        n_pr = min(n_probe, len(Cl))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Xb = np.array([np.asarray(v, np.float64) for v in pdf["v"]])
+            d2 = -2.0 * (Xb @ Cl.T) + c2[None, :]
+            near = np.argpartition(d2, n_pr - 1, axis=1)[:, :n_pr] \
+                if n_pr < d2.shape[1] else \
+                np.broadcast_to(np.arange(d2.shape[1]), d2.shape).copy()
+            labb = np.take_along_axis(
+                near, np.take_along_axis(d2, near, 1).argmin(1, keepdims=True), 1
+            ).ravel()
+            Rb = Xb - Cl[labb]
+            codes = np.empty((len(Xb), m_subspaces), dtype=np.int64)
+            for s in range(m_subspaces):
+                B = bks[s]
+                sub = Rb[:, s * ds:(s + 1) * ds]
+                codes[:, s] = (-2.0 * (sub @ B.T)
+                               + (B ** 2).sum(1)[None, :]).argmin(1)
+            ids = pdf["vid"].to_numpy()
+            vs = pdf["v"].to_numpy()
+            corp = pd.DataFrame({
+                "list_id": labb.astype("int32"),
+                "role": np.int8(0),
+                "id": ids,
+                "qv": None,
+                "codes": list(codes),
+            })
+            prob = pd.DataFrame({
+                "list_id": near.ravel().astype("int32"),
+                "role": np.int8(1),
+                "id": np.repeat(ids, near.shape[1]),
+                "qv": np.repeat(vs, near.shape[1]),
+                "codes": None,
+            })
+            yield pd.concat([corp, prob], ignore_index=True)
+
+    routed = vec.mapInPandas(
+        encode_route,
+        schema="list_id int, role tinyint, id long, qv array<double>, codes array<long>",
+    )
+
+    n_cand = k * refine
+
+    def adc_list(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        corp = pdf[pdf["role"] == 0]
+        qry = pdf[pdf["role"] == 1]
+        empty = pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                              "nid": pd.Series(dtype="int64")})
+        if len(corp) == 0 or len(qry) == 0:
+            return empty
+        Cl = b_C.value
+        bks = b_books.value
+        list_id = int(key[0])
+        codes = np.array([np.asarray(c, np.int64) for c in corp["codes"]])
+        nids = corp["id"].to_numpy()
+        order = np.argsort(nids)           # id-sorted -> stable tiebreak
+        nids, codes = nids[order], codes[order]
+        Q = np.array([np.asarray(v, np.float64) for v in qry["qv"]])
+        base = Q @ Cl[list_id]             # q·c_list, one per query
+        # ADC tables: T[s] is nq × n_codes; corpus score = base + Σ lookups
+        approx = np.tile(base[:, None], (1, len(nids)))
+        for s in range(m_subspaces):
+            T = Q[:, s * ds:(s + 1) * ds] @ bks[s].T
+            approx += T[:, codes[:, s]]
+        qids = qry["id"].to_numpy()
+        out_q, out_n = [], []
+        for qi, qid in enumerate(qids):
+            sims = approx[qi]
+            idx = np.nonzero(nids != qid)[0]
+            top = idx[np.argsort(-sims[idx], kind="stable")[:n_cand]]
+            out_q.extend([qid] * len(top))
+            out_n.extend(nids[top])
+        return pd.DataFrame({"qid": np.asarray(out_q, dtype=np.int64),
+                             "nid": np.asarray(out_n, dtype=np.int64)})
+
+    cands = (
+        routed.groupBy("list_id")
+        .applyInPandas(adc_list, schema="qid long, nid long")
+    )
+
+    # EXACT refine: candidate-sized joins back to the true vectors,
+    # JVM-side dot, same rounding/tiebreak contract as the exact paths
+    from ..functions.vector import dot as _dot
+
+    qside = vec.select(F.col("vid").alias("qid"), F.col("v").alias("_qvec"))
+    nside = vec.select(F.col("vid").alias("nid"), F.col("v").alias("_nvec"))
+    scored = (
+        cands.join(qside, "qid").join(nside, "nid")
+        .select("qid", "nid",
+                F.round(_dot("_qvec", "_nvec"), 6).alias("sim"))
     )
     return _topk_rows(scored, k)

@@ -181,3 +181,20 @@ def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "pair")
         .limit(50)
     )
+
+
+@register("q_llm_bpe_learn")  # rows-only: iterative trainer, not SQL-expressible;
+                              # merge-sequence parity vs a pure-Python reference
+                              # trainer asserted in tests/test_bpe.py
+def q_llm_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 BPE merges learned from the corpus — the tokenizer-
+    TRAINING loop itself (q_llm_bpe_pairs is one iteration's
+    statistic; this runs the whole greedy loop). One corpus pass
+    builds the word-frequency table; every iteration after that is
+    vocab-sized: pair-count aggregation → single-row argmax to the
+    driver → JVM array-fold merge application, re-checkpointed so the
+    plan stays constant-depth. Deterministic: count-desc +
+    lexicographic tiebreak (see operators/bpe.py)."""
+    from ..operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=10)

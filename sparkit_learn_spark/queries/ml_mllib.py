@@ -276,6 +276,22 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, k=5, seed=SEED)
 
 
+@register("q_llm_ann_ivfpq")  # rows-only: recall + exact-refine checked in pytest
+def q_llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 cosine neighbors with exact re-rank —
+    the COMPRESSED-index ANN path: corpus vectors enter the scoring
+    shuffle as 8 one-byte PQ codes (64× smaller than the raw d=64
+    float64 vector plain IVF ships), scored via ADC lookup tables,
+    then the top candidates re-ranked with the exact JVM dot. The
+    right default once the corpus is too big to shuffle raw — at
+    100 TB the PQ-coded index is ~1.5 TB. Recall vs the exact
+    baseline + sim exactness asserted in tests/test_ml.py."""
+    from ..operators.similarity import ivf_pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(e, k=5, seed=SEED)
+
+
 @register("q_ml_pca")  # rows-only: eigenvector sign is arbitrary, sklearn-checked in pytest
 def q_ml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA scores of the embeddings: distributed covariance (one

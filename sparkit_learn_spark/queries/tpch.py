@@ -239,3 +239,123 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+#: Q7 nation pair + shipdate window (two full years, mid-fixture).
+Q7_NATIONS = ("FRANCE", "GERMANY")
+Q7_LO, Q7_HI = "1996-01-01", "1997-12-31"
+
+
+@register(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = '{Q7_NATIONS[0]}' AND n2.n_name = '{Q7_NATIONS[1]}')
+          OR (n1.n_name = '{Q7_NATIONS[1]}' AND n2.n_name = '{Q7_NATIONS[0]}'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '{Q7_LO}' AND TIMESTAMP '{Q7_HI}'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations per shipment year — the canonical DOUBLE-dim-role join
+    (nation joined twice under different roles) plus a disjunctive
+    cross-filter that relates the two roles.
+
+    Scale: both nation lookups broadcast (25 rows each, hinted because
+    the size is schema-bounded); supplier and customer reduce to
+    (key, nationkey) projections before joining; the disjunctive
+    nation-pair predicate is applied AFTER both roles resolve — it
+    cannot push to either scan alone, exactly why Q7 is a planner
+    test. The one fact-fact exchange (lineitem⋈orders) carries only
+    shipdate-window survivors."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q7_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") <= F.lit(Q7_HI).cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"),
+                  F.col("n_name").alias("cust_nation"))
+    a, b = Q7_NATIONS
+    pair = ((F.col("supp_nation") == a) & (F.col("cust_nation") == b)) | (
+        (F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+#: Q12-style lateness threshold (days between order and ship).
+Q12_LATE_DAYS = 90
+
+
+@register(
+    "q_tpch_q12",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              > {Q12_LATE_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS late_items,
+           CAST(COUNT(*) AS BIGINT) AS total_items,
+           ROUND(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                               > {Q12_LATE_DAYS} THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS late_share
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted to the fixture schema (no shipmode/commit/
+    receipt columns): per order priority, how many lineitems shipped
+    more than {Q12_LATE_DAYS} days after the order was placed — the
+    conditional-aggregate-over-join shape of the original (late-vs-
+    total split per group).
+
+    Scale: one fact-fact equi-join on orderkey (the only exchange),
+    conditional sums fold into the same single aggregation pass —
+    no second scan for the denominator."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            > Q12_LATE_DAYS).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(late).alias("late_items"),
+            F.count("*").alias("total_items"),
+            F.round(F.sum(late) * 1.0 / F.count("*"), 6).alias("late_share"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -328,6 +328,34 @@ def test_ivf_topk_autosized_recall_and_balance(spark, sf_dir):
     assert recall >= 0.6
 
 
+def test_ivf_pq_topk_recall_and_determinism(spark, sf_dir):
+    """IVF-PQ (8-byte codes in the scoring shuffle + exact re-rank)
+    must hit recall ≥ 0.6 at auto sizing on the clustered fixture and
+    return identical results across runs (seeded quantizers, stable
+    tiebreaks)."""
+    import pandas as pd
+
+    from sparkit_learn_spark.operators.similarity import cosine_topk, ivf_pq_topk
+
+    emb = _clustered_embeddings(spark)
+    exact = cosine_topk(emb, k=5).toPandas()
+    key = ["qid", "rn"]
+    a = ivf_pq_topk(emb, k=5).toPandas().sort_values(key).reset_index(drop=True)
+    b = ivf_pq_topk(emb, k=5).toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    exact_pairs = {(q, n) for q, n in zip(exact["qid"], exact["nid"])}
+    pq_pairs = {(q, n) for q, n in zip(a["qid"], a["nid"])}
+    recall = len(exact_pairs & pq_pairs) / len(exact_pairs)
+    assert recall >= 0.6
+    # re-ranked sims are EXACT: every emitted (qid, nid) sim must match
+    # the brute-force value for that pair
+    exact_sim = {(q, n): s for q, n, s in
+                 zip(exact["qid"], exact["nid"], exact["sim"])}
+    for q, n, s in zip(a["qid"], a["nid"], a["sim"]):
+        if (q, n) in exact_sim:
+            assert abs(exact_sim[(q, n)] - s) < 1e-9
+
+
 def test_ivf_list_balance_metric(spark, sf_dir):
     """The balance diagnostic flags a healthy quantizer (cv < 2,
     max_frac < 0.5 on the fixture) and sums to the corpus size."""
@@ -383,11 +411,14 @@ def test_ivf_topk_is_collect_free(spark, sf_dir):
     assert ".collect()" not in src
     src_sharded = inspect.getsource(similarity.cosine_topk_sharded)
     assert ".collect()" not in src_sharded
-    # the quantizer trainer MAY collect — but only through a limit()
-    # that bakes the DRIVER_TRAIN_CAP bound into the plan
-    src_train = inspect.getsource(similarity._train_coarse_quantizer)
-    assert ".limit(DRIVER_TRAIN_CAP).collect()" in src_train
-    assert src_train.count(".collect()") == 1
+    # quantizer/codebook training MAY collect — but only through the
+    # one helper whose limit() bakes the DRIVER_TRAIN_CAP bound into
+    # the plan
+    src_sample = inspect.getsource(similarity._collect_bounded_sample)
+    assert ".limit(DRIVER_TRAIN_CAP).collect()" in src_sample
+    assert src_sample.count(".collect()") == 1
+    for fn in (similarity._train_coarse_quantizer, similarity.ivf_pq_topk):
+        assert ".collect()" not in inspect.getsource(fn)
 
 
 def test_approx_quantiles_error_bound(spark, sf_dir, duck):
