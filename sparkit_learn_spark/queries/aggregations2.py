@@ -193,3 +193,39 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("c_name", ordv).alias("bottom_customer"),
         F.min("c_acctbal").alias("bottom_balance"),
     )
+
+
+@register(
+    "q_agg_unpivot",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 2)      AS sum_qty,
+             ROUND(SUM(l_extendedprice), 2) AS sum_price,
+             ROUND(SUM(l_discount), 2)      AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value
+    FROM w UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt): per-flag metric columns rotated into
+    (key, metric, value) rows — the inverse of q_agg_pivot and the
+    standard feed for long-form metric stores.
+
+    Scale: unpivot is a zero-shuffle projection (each input row emits
+    one row per measure column — a generate, no exchange); the only
+    shuffle is the upstream aggregate's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -321,3 +321,39 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
         )
     )
+
+
+@register(
+    "q_join_nullsafe",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(lang, 'de') AS k, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    b AS (
+      SELECT NULLIF(lang, 'de') AS k, CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY 1
+    )
+    SELECT a.k, a.n_docs, b.chars
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the semantics a plain
+    equi join silently loses. Keys are derived with NULLIF so the
+    fixture genuinely exercises the NULL bucket.
+
+    Scale: <=> is still hash-joinable (NULL hashes to one bucket), so
+    the plan stays a shuffled hash join — but that SAME property makes
+    a null-heavy key the canonical skew case: at 100 TB, pre-filter or
+    salt the NULL bucket if it dominates."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.nullif(F.col("lang"), F.lit("de"))
+    a = d.groupBy(key.alias("k")).agg(F.count("*").alias("n_docs"))
+    b = d.groupBy(key.alias("kb")).agg(
+        F.sum("n_chars").cast("long").alias("chars"))
+    return (
+        a.join(b, a["k"].eqNullSafe(b["kb"]))
+        .select("k", "n_docs", "chars")
+    )

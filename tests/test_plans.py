@@ -183,3 +183,26 @@ def test_skew_join_under_powerlaw_key(spark, tmp_path):
                  .select("_salt").distinct().count())
     assert n_buckets == 8
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_edit_distance_single_levenshtein_evaluation(spark, sf_dir):
+    """The banded levenshtein must appear EXACTLY ONCE in the physical
+    plan: a filter over the aliased column gets re-inlined per
+    conjunct by Catalyst (no cross-expression CSE for this function —
+    measured 3.7x at sf1), which is why the query uses the
+    array→filter(λ)→explode single-reference form. A second
+    occurrence in the plan means that structure regressed."""
+    plan = explain_str(Q["q_llm_edit_distance"](spark, sf_dir))
+    assert plan.count("levenshtein") == 1, plan
+
+
+def test_unpivot_has_no_extra_exchange(spark, sf_dir):
+    """UNPIVOT is a projection/generate — the only exchange allowed in
+    the plan is the upstream aggregate's partial->final shuffle."""
+    import re
+
+    plan = explain_str(Q["q_agg_unpivot"](spark, sf_dir))
+    # count physical NODES ("(n) Exchange" detail headers), not string
+    # occurrences — each node appears twice in a formatted plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+    assert "Expand" in plan  # the unpivot generate itself
