@@ -26,5 +26,6 @@ from . import sorts_setops  # noqa: F401
 from . import streaming_batch  # noqa: F401
 from . import subqueries  # noqa: F401
 from . import tpch  # noqa: F401
+from . import tpch2  # noqa: F401
 from . import udfs  # noqa: F401
 from . import windows  # noqa: F401

@@ -206,3 +206,26 @@ def test_unpivot_has_no_extra_exchange(spark, sf_dir):
     # occurrences — each node appears twice in a formatted plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
     assert "Expand" in plan  # the unpivot generate itself
+
+
+def test_tpch_q6_full_pushdown_and_pruned_read(spark, sf_dir):
+    """Q6 is the pure scan query: every predicate must reach the
+    parquet scan and the read schema must carry exactly the 4 columns
+    the query touches — at 100 TB this is the difference between a
+    bandwidth-bound scan and reading the whole fact table."""
+    plan = explain_str(Q["q_tpch_q6"](spark, sf_dir))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_partkey", "l_returnflag"):
+        assert col not in read_schema, read_schema
+
+
+def test_tpch_q8_broadcasts_dims_no_sort_merge(spark, sf_dir):
+    """Q8's five dimension joins (part, nation x2 incl. the
+    region-restricted role, plus AQE-sized supplier/customer at
+    fixture scale) must not degenerate into sort-merge joins."""
+    plan = explain_str(Q["q_tpch_q8"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
