@@ -14,6 +14,7 @@ from . import llm_pipeline3  # noqa: F401
 from . import llm_pipeline4  # noqa: F401
 from . import llm_pipeline5  # noqa: F401
 from . import llm_pipeline6  # noqa: F401
+from . import llm_pipeline7  # noqa: F401
 from . import ml_mllib  # noqa: F401
 from . import multimodal_q  # noqa: F401
 from . import ml_stats  # noqa: F401
