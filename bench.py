@@ -56,6 +56,10 @@ HEADLINE = [
     "q_tpch_q3",            # TPC-H Q3 (3-way join + agg + top-k)
     "q_sub_correlated_agg", # correlated aggregate subquery
     "q_mm_decode",          # binary synth + header struct-parse (Arrow)
+    # round-5 additions (this session)
+    "q_tpch_q6",            # pure scan-filter-agg (bandwidth-bound)
+    "q_tpch_q8",            # 8-table double-role-nation market share
+    "q_llm_embed_outliers", # per-label centroid cosine outliers
 ]
 
 

@@ -64,46 +64,47 @@ def q_llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6dp BEFORE ranking with a vec_id tiebreak (the repo's
     standard determinism contract for float-ordered output).
 
-    Scale: entirely JVM-side — posexplode (a generate, no shuffle) to
-    (label, pos, val); ONE shuffle on (label, pos) produces centroid
-    components (n_labels × dim rows — tiny, broadcast back); the dot
-    and norm fold into ONE aggregation per vec_id (shuffle on vec_id,
-    map-combined). No vector ever crosses the wire twice and nothing
-    is collected: at 100 TB the cost is two passes over the exploded
-    fact, both with partial aggregation. Centroid means of integral-
-    exponent floats can differ in the last ulp across engines'
+    Scale: one posexplode pass + (label, pos) partial agg builds the
+    centroid COMPONENTS (n_labels × dim rows — tiny); they reassemble
+    into per-label centroid ARRAYS driver-free (array_agg + sort) and
+    broadcast; the fact side is then ONE label-key broadcast join with
+    the dot/norms computed per-row by JVM zip_with/aggregate — the
+    vectors themselves never explode and never shuffle (the only
+    fact-sized exchange is the final per-label rank window, which
+    carries (vec_id, label, sim) triples, not vectors). Centroid
+    means of floats can differ in the last ulp across engines'
     summation orders — the 6dp round absorbs that (same contract as
     every cosine query here)."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    comp = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+    )
+    cent = (
+        comp.groupBy(F.col("label").alias("cl"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(
-            "vec_id", "label",
-            F.posexplode(F.transform("embedding",
-                                     lambda x: x.cast("double")))
-            .alias("pos0", "val"),
+            "cl",
+            F.transform("pc", lambda s: s["c"]).alias("cvec"),
         )
-        # DuckDB subscripts are 1-based; align so the join keys match
-        .withColumn("pos", F.col("pos0") + 1)
-        .drop("pos0")
-    )
-    cent = e.groupBy("label", "pos").agg(F.avg("val").alias("c"))
-    cnorm = cent.groupBy("label").agg(
-        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"))
-    per = (
-        e.join(F.broadcast(cent.withColumnRenamed("label", "cl")),
-               (F.col("label") == F.col("cl")) & (e.pos == cent.pos))
-        .groupBy("vec_id", "label")
-        .agg(
-            F.sum(F.col("val") * F.col("c")).alias("dot"),
-            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv"),
+        .withColumn(
+            "nc",
+            F.sqrt(F.aggregate(
+                "cvec", F.lit(0.0), lambda a, x: a + x * x)),
         )
     )
+    dot = F.aggregate(
+        F.zip_with("v", "cvec", lambda a, b: a * b),
+        F.lit(0.0), lambda a, x: a + x)
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     sims = (
-        per.join(F.broadcast(cnorm.withColumnRenamed("label", "nl")),
-                 F.col("label") == F.col("nl"))
+        emb.join(F.broadcast(cent), F.col("label") == F.col("cl"))
         .select("vec_id", "label",
-                F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 6)
-                .alias("sim"))
+                F.round(dot / (nv * F.col("nc")), 6).alias("sim"))
     )
     w = Window.partitionBy("label").orderBy("sim", "vec_id")
     return (
