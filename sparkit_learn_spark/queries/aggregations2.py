@@ -229,3 +229,33 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.1)                    AS all_small_disc,
+           bool_or(l_quantity >= 50)                      AS any_max_qty,
+           CAST(COUNT(*) FILTER (WHERE l_tax > 0.05) AS BIGINT)
+                                                          AS n_high_tax,
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 5) AS BIGINT)
+                                                          AS n_tiny
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate battery: bool_and / bool_or /
+    count_if (≡ ANSI COUNT(*) FILTER) per group — the predicates-as-
+    aggregates family a data-quality report is built from.
+
+    Scale: all four fold into ONE hash aggregate pass with map-side
+    combine (booleans partial-agg as AND/OR, count_if as a partial
+    sum) — no per-predicate scan, shuffle carries one row per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") <= 0.1).alias("all_small_disc"),
+        F.bool_or(F.col("l_quantity") >= 50).alias("any_max_qty"),
+        F.count_if(F.col("l_tax") > 0.05).alias("n_high_tax"),
+        F.count_if(F.col("l_quantity") < 5).alias("n_tiny"),
+    )

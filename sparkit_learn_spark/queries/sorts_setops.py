@@ -161,3 +161,39 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return c.subtract(o)
+
+
+@register(
+    "q_sort_nulls",
+    oracle="""
+    SELECT doc_id, k,
+           CAST(row_number() OVER (ORDER BY k ASC NULLS FIRST, doc_id)
+                AS BIGINT) AS pos_nf,
+           CAST(row_number() OVER (ORDER BY k DESC NULLS LAST, doc_id)
+                AS BIGINT) AS pos_nl
+    FROM (SELECT doc_id, NULLIF(lang, 'de') AS k FROM documents)
+    WHERE doc_id < 200
+    """,
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in ORDER BY (NULLS FIRST on ASC, NULLS
+    LAST on DESC) — engines DISAGREE on the default (Spark sorts nulls
+    first ascending, DuckDB last), so portable queries must pin it;
+    both orderings materialize as row_number so the order-insensitive
+    hash still checks them.
+
+    Scale: a window over the full set with no PARTITION BY is a
+    single-reducer sort — fine here only because the fixture filter
+    bounds the input; at 100 TB pin a partition key or use the
+    distributed sort + zipWithIndex-style id assignment instead."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    k = F.nullif(F.col("lang"), F.lit("de"))
+    base = d.select("doc_id", k.alias("k"))
+    from pyspark.sql import Window
+    w_nf = Window.orderBy(F.col("k").asc_nulls_first(), "doc_id")
+    w_nl = Window.orderBy(F.col("k").desc_nulls_last(), "doc_id")
+    return base.select(
+        "doc_id", "k",
+        F.row_number().over(w_nf).cast("long").alias("pos_nf"),
+        F.row_number().over(w_nl).cast("long").alias("pos_nl"),
+    )
