@@ -42,7 +42,10 @@ OUTLIERS_PER_LABEL = 5
     ),
     sims AS (
       SELECT per.vec_id, per.label,
-             ROUND(per.dot / (per.nv * cnorm.nc), 6) AS sim
+             -- +0.0: an atypical vector's centroid sim can be a tiny
+             -- negative that ROUND lands on -0.0 (the r4 hash-FAIL
+             -- class); Spark's BigDecimal round has no signed zero
+             ROUND(per.dot / (per.nv * cnorm.nc), 6) + 0.0 AS sim
       FROM per JOIN cnorm ON per.label = cnorm.label
     )
     SELECT vec_id, label, sim, CAST(rn AS BIGINT) AS rn
