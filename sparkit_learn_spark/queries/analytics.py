@@ -1,7 +1,8 @@
 """Event-analytics composites over the events table: conversion
-funnel (ordered first-occurrence stages) and weekly cohort retention
-— the two workhorse product-analytics shapes. Both exactly
-DuckDB-oracled.
+funnel (ordered first-occurrence stages), weekly cohort retention,
+state transitions, z-score anomaly flagging, and the dow×hour
+activity heatmap — the workhorse product-analytics shapes. All
+exactly DuckDB-oracled.
 """
 
 from __future__ import annotations
@@ -160,4 +161,93 @@ def q_evt_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter(F.col("to_type").isNotNull())
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("n"))
+    )
+
+
+#: Anomaly threshold in per-type standard deviations.
+ANOM_Z = 2.5
+
+
+@register(
+    "q_evt_anomaly",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value)         AS mu,
+             STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 2) AS value,
+           ROUND((e.value - s.mu) / s.sd, 4) + 0.0 AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS(e.value - s.mu) > {ANOM_Z} * s.sd
+    ORDER BY e.event_id
+    """,
+)
+def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flagging: events whose value deviates
+    more than {ANOM_Z}σ from their type's mean — the monitoring /
+    data-validation pass over a metrics stream. The z is rounded with
+    a signed-zero guard; the CUT itself compares raw doubles, which
+    is safe because both engines derive mu/sd from the same algebraic
+    moments and a value landing within an ulp of the exact threshold
+    does not occur at fixture scales (and would shift the flag set,
+    not corrupt values, at worst).
+
+    Scale: the per-type moments are ONE partial+final aggregate
+    (5 groups); they broadcast back into a second scan of events —
+    two scans, zero fact shuffles, output ∝ tail density. This is the
+    shape to keep at 100 TB: never window the raw stream by type
+    (a 5-key window would funnel the whole table through 5 reducers);
+    aggregate-then-broadcast instead."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy(F.col("event_type").alias("st")).agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    return (
+        e.join(F.broadcast(stats), e.event_type == F.col("st"))
+        .filter(F.abs(F.col("value") - F.col("mu")) > ANOM_Z * F.col("sd"))
+        .select(
+            "event_id", "event_type",
+            F.round("value", 2).alias("value"),
+            (F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+             + F.lit(0.0)).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q_evt_heatmap",
+    oracle="""
+    SELECT CAST(EXTRACT(dow  FROM ts) AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT)              AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_evt_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap with per-cell
+    distinct users — the standard traffic-shape rollup. Spark's
+    dayofweek is 1-based (Sunday=1); DuckDB's dow is 0-based
+    (Sunday=0) — aligned by subtracting 1.
+
+    Scale: 168 groups; COUNT(DISTINCT) expands to a two-stage
+    aggregate (dedup on (cell, user) then count) — both stages
+    map-side combine, so the shuffles carry at most one row per
+    (cell, user) and per cell respectively."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(F.count("*").alias("n"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy("dow", "hod")
     )
