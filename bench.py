@@ -60,6 +60,7 @@ HEADLINE = [
     "q_tpch_q6",            # pure scan-filter-agg (bandwidth-bound)
     "q_tpch_q8",            # 8-table double-role-nation market share
     "q_llm_embed_outliers", # per-label centroid cosine outliers
+    "q_evt_funnel",         # event-analytics family representative
 ]
 
 
