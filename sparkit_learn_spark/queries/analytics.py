@@ -251,3 +251,65 @@ def q_evt_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("user_id").alias("n_users"))
         .orderBy("dow", "hod")
     )
+
+
+#: Minimum consecutive same-type events to count as a streak.
+STREAK_MIN = 3
+
+
+@register(
+    "q_evt_streaks",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rnt
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           MIN(ts) AS run_start
+    FROM t
+    GROUP BY user_id, event_type, rn - rnt
+    HAVING COUNT(*) >= {STREAK_MIN}
+    ORDER BY user_id, run_start, event_type
+    """,
+)
+def q_evt_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of >= {STREAK_MIN} CONSECUTIVE
+    same-type events per user (the rn − rn_per_type island id trick)
+    — sequence-position based, unlike q_win_sessionize's time-gap
+    islands. Ordering ties on ts are broken by event_id so island
+    membership is deterministic cross-engine.
+
+    Scale: both window passes partition by user (the second by
+    user+type — a subpartition, so with AQE the second sort reuses
+    the first exchange's layout where possible) and the island
+    aggregate groups within the same keys — everything after the
+    first user_id shuffle is user-local. Per-user data must fit a
+    partition's sort spill budget, the standard window constraint;
+    no global sort, no driver state."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id")
+    t = e.select(
+        "user_id", "event_type", "ts",
+        (F.row_number().over(w_all)
+         - F.row_number().over(w_typ)).alias("island"),
+    )
+    return (
+        t.groupBy("user_id", "event_type", "island")
+        .agg(F.count("*").alias("run_len"),
+             F.min("ts").alias("run_start"))
+        .filter(F.col("run_len") >= STREAK_MIN)
+        .select("user_id", "event_type",
+                F.col("run_len").cast("long").alias("run_len"),
+                "run_start")
+        .orderBy("user_id", "run_start", "event_type")
+    )
