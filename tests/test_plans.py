@@ -229,3 +229,41 @@ def test_tpch_q8_broadcasts_dims_no_sort_merge(spark, sf_dir):
     plan = explain_str(Q["q_tpch_q8"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning — the 100 TB lever for a
+    selective-dim ⋈ huge-fact shuffle join: Spark builds a bloom
+    filter from the filtered build side and applies might_contain to
+    the probe side's scan, killing most fact rows before the
+    exchange. Off by default at fixture scale only because the
+    application side is below the 10 GB scan threshold — this pins
+    the conf recipe (all three are runtime-settable SQL confs) and
+    asserts the filter actually injects."""
+    from sparkit_learn_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000)
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority")
+             .agg(F.sum("l_extendedprice").alias("s")))
+        plan = explain_str(j)
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
