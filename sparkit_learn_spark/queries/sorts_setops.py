@@ -197,3 +197,56 @@ def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_nf).cast("long").alias("pos_nf"),
         F.row_number().over(w_nl).cast("long").alias("pos_nl"),
     )
+
+
+@register(
+    "q_set_except_all",
+    oracle="""
+    SELECT k FROM (
+      SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ) t
+    """,
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag (multiset) difference: each key survives
+    max(0, count_left − count_right) times, unlike set EXCEPT which
+    collapses to 0/1. The duplicate multiplicity IS the semantics, so
+    the order-insensitive hash still pins it exactly.
+
+    Scale: Spark plans exceptAll as per-side counted aggregation +
+    sum-of-signed-counts + generate (replicate k, n times) — one
+    shuffle per side on the value, never a join; skew-safe because
+    counts combine map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_suppkey").alias("k"))
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("k"))
+    return a.exceptAll(r)
+
+
+@register(
+    "q_set_intersect_all",
+    oracle="""
+    SELECT k FROM (
+      SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ) t
+    """,
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection: each key appears
+    min(count_left, count_right) times (q_set_intersect is the 0/1
+    set form). Same counted-aggregate execution shape as EXCEPT ALL.
+
+    Scale: identical to except_all — per-side counted agg, min of
+    counts, generate; no join, map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_suppkey").alias("k"))
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("k"))
+    return a.intersectAll(r)

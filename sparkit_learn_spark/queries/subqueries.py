@@ -10,6 +10,7 @@ the equivalent join — no per-row subquery execution ever happens.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
@@ -121,4 +122,53 @@ def q_sub_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     FROM orders o2
                                     WHERE o2.o_custkey = o.o_custkey)
         """
+    )
+
+
+@register(
+    "q_sub_any_all",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_acctbal > ALL (
+            SELECT c_acctbal FROM customer WHERE c_mktsegment = 'MACHINERY'
+              AND c_acctbal < 0
+          )
+      AND s_acctbal < ANY (
+            SELECT c_acctbal FROM customer WHERE c_mktsegment = 'MACHINERY'
+          )
+    ORDER BY s_suppkey
+    """,
+)
+def q_sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons (> ALL, < ANY): suppliers whose balance
+    beats every negative MACHINERY-customer balance and trails at
+    least one MACHINERY balance. ALL/ANY decorrelate to MAX/MIN
+    scalar aggregates (with the empty-subquery edge: > ALL of an
+    empty set is TRUE — both engines agree; the Spark side keeps the
+    same NULL-safe guard the SQL form implies).
+
+    Scale: both subqueries reduce to a 1-row (max, min) aggregate
+    broadcast into the supplier scan's filter — no join of any fact
+    size; this is how quantified predicates should always land at
+    100 TB (never as the naive per-row rescan)."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY")
+    bounds = c.agg(
+        F.max(F.when(F.col("c_acctbal") < 0, F.col("c_acctbal")))
+        .alias("max_neg"),
+        F.min("c_acctbal").alias("min_any"),
+        F.max("c_acctbal").alias("max_any"),
+    )
+    return (
+        s.join(F.broadcast(bounds))
+        # > ALL(empty) is TRUE: max_neg IS NULL passes
+        .filter(F.col("max_neg").isNull()
+                | (F.col("s_acctbal") > F.col("max_neg")))
+        # < ANY(S) means < max(S); empty set -> FALSE (max_any NULL
+        # makes the comparison NULL -> filtered, matching SQL)
+        .filter(F.col("s_acctbal") < F.col("max_any"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
     )
