@@ -267,3 +267,16 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_except_all_is_counted_aggregate_not_join(spark, sf_dir):
+    """EXCEPT ALL must execute as the counted-aggregate + generate
+    plan (one value shuffle, map-side combined) — never as a join.
+    A join-based rewrite would shuffle both sides AND break down on
+    skewed keys; the counted form is skew-safe by construction."""
+    import re
+
+    plan = explain_str(Q["q_set_except_all"](spark, sf_dir))
+    assert "Join" not in plan, plan[:1500]
+    assert "Generate" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
