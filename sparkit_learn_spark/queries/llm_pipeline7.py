@@ -115,3 +115,54 @@ def q_llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= OUTLIERS_PER_LABEL)
         .orderBy("label", "rn")
     )
+
+
+@register(
+    "q_llm_zipf",
+    oracle="""
+    WITH tf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, term) AS rank
+      FROM tf
+    )
+    SELECT ROUND(regr_slope(LN(freq), LN(rank)), 4)     AS zipf_slope,
+           ROUND(regr_intercept(LN(freq), LN(rank)), 4) AS zipf_intercept,
+           ROUND(regr_r2(LN(freq), LN(rank)), 6)        AS fit_r2,
+           CAST(COUNT(*) AS BIGINT)                     AS n_terms
+    FROM ranked
+    """,
+)
+def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: regress ln(freq) on ln(rank) over the
+    corpus vocabulary — slope near −1 is the natural-language
+    signature, so a corpus whose slope drifts (template spam, boiler-
+    plate floods) fails this health check before training. Rank ties
+    break on term so ranking is deterministic cross-engine.
+
+    Scale: term frequencies are one explode + partial/final count
+    (vocab-sized output); the regression is a single algebraic
+    aggregate pass over that. The row_number ranking IS a global sort
+    of the vocabulary — bounded by distinct-term count, not corpus
+    size, but at web scale (10⁸+ terms) swap it for the distributed
+    rank in operators/ids.stable_sorted_ids (same output contract);
+    kept as the window form here to exercise that shape."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("freq"), "term")
+    ranked = tf.select(
+        "freq", F.row_number().over(w).alias("rank"))
+    lf, lr = F.log(F.col("freq")), F.log(F.col("rank"))
+    return ranked.agg(
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"),
+        F.count("*").alias("n_terms"),
+    )
