@@ -259,3 +259,99 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_tax") > 0.05).alias("n_high_tax"),
         F.count_if(F.col("l_quantity") < 5).alias("n_tiny"),
     )
+
+
+@register(
+    "q_agg_skew_kurt",
+    oracle="""
+    WITH mu AS (
+      SELECT l_returnflag, AVG(l_discount) AS m
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           -- population g1/g2 from explicit central moments: Spark's
+           -- skewness/kurtosis are population-form; DuckDB's builtins
+           -- are sample-form (bias-corrected), so the oracle computes
+           -- the population definition directly. +0.0 guards the
+           -- signed-zero rounding class.
+           ROUND(AVG(POW(l.l_discount - mu.m, 3))
+                 / POW(AVG(POW(l.l_discount - mu.m, 2)), 1.5), 6) + 0.0
+             AS skew,
+           ROUND(AVG(POW(l.l_discount - mu.m, 4))
+                 / POW(AVG(POW(l.l_discount - mu.m, 2)), 2) - 3, 6) + 0.0
+             AS kurt,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment statistics per group: skewness and excess
+    kurtosis of the discount distribution (population form — Spark's
+    definition; the oracle computes the same from explicit central
+    moments because DuckDB's builtins are the bias-corrected sample
+    form). Computed on l_discount, whose centered powers stay ~1e-2 —
+    no catastrophic cancellation at any SF, so 6dp parity holds.
+
+    Scale: Spark's skewness/kurtosis are single-pass algebraic
+    aggregates over running moments with map-side partial merge — the
+    same one-shuffle shape as q_agg_stats (the oracle's two-pass CTE
+    is a DuckDB-side convenience, not the executed plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_discount"), 6).alias("skew"),
+        F.round(F.kurtosis("l_discount"), 6).alias("kurt"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS b_and,
+           CAST(bit_or(CAST(l_linenumber AS BIGINT))  AS BIGINT) AS b_or,
+           CAST(bit_xor(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS b_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and / bit_or / bit_xor) per group —
+    the flag-mask rollup shape (permission unions, feature-bit
+    intersections). Integer-exact, no FP hazard.
+
+    Scale: all three are commutative-associative single-value
+    aggregates — partial merge map-side, one 8-byte value per group
+    crosses the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    col = F.col("l_linenumber").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(col).alias("b_and"),
+        F.bit_or(col).alias("b_or"),
+        F.bit_xor(col).alias("b_xor"),
+    )
+
+
+@register(
+    "q_agg_collect_sorted",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect_set is UNORDERED (a
+    hash-set, engine- and partition-order-dependent), so any query
+    that emits a collected array MUST array_sort it to be
+    reproducible — this pins that contract as an oracled query.
+
+    Scale: collect_set per group is bounded by the value domain (3
+    statuses), not row count — safe; an unbounded-domain collect is
+    the anti-pattern (use explode + agg instead)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+    )
