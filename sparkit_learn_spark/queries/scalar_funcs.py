@@ -165,3 +165,72 @@ def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.col("c_acctbal"), F.lit(5000.0)), 6).alias("bal_capped"),
         F.when(F.col("c_acctbal") < 0, "debt").otherwise("credit").alias("standing"),
     )
+
+
+#: Calendar-spine window for the gap-fill query (one fixture month).
+SPINE_LO, SPINE_HI = "1996-02-01", "1996-02-29"
+
+
+@register(
+    "q_date_spine_fill",
+    oracle=f"""
+    WITH spine AS (
+      SELECT unnest(generate_series(DATE '{SPINE_LO}',
+                                    DATE '{SPINE_HI}',
+                                    INTERVAL 1 DAY))::TIMESTAMP AS day
+    ),
+    daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{SPINE_LO}'
+        AND o_orderdate <  TIMESTAMP '{SPINE_HI}' + INTERVAL 1 DAY
+      GROUP BY 1
+    )
+    SELECT spine.day,
+           COALESCE(daily.n_orders, 0) AS n_orders,
+           COALESCE(daily.revenue, 0.0) AS revenue
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    ORDER BY spine.day
+    """,
+)
+def q_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: a generated contiguous day series LEFT
+    JOINed to daily order aggregates so days with NO orders appear as
+    explicit zero rows — the pattern every time-series report needs
+    (a bare GROUP BY day silently drops empty days).
+
+    Scale: the spine is F.sequence + explode on a 1-row relation —
+    generated, never stored, and broadcast into the join (a calendar
+    is always tiny); the daily aggregate is the only fact-sized work
+    (one partial+final agg with the date filter pushed to the scan)."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(SPINE_LO).cast("timestamp_ntz"),
+                F.lit(SPINE_HI).cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(SPINE_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.date_add(F.lit(SPINE_HI).cast("timestamp_ntz"), 1))
+    )
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("dday"))
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, spine.day == F.col("dday"), "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("day")
+    )
