@@ -202,3 +202,45 @@ def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o, LATERAL tier_explode(o.o_totalprice) AS t
         """
     )
+
+
+@register(
+    "q_udf_mapinarrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                  AS n_cp,
+           CAST(len(string_split(text, ' ')) AS BIGINT)  AS n_tokens
+    FROM documents
+    """,
+)
+def q_udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy end of the Python UDF spectrum: the
+    function receives raw pyarrow RecordBatches (no pandas
+    materialization at all) and computes with Arrow compute kernels
+    (C++-vectorized). Complements q_udtf_mapinpandas, which pays the
+    Arrow→pandas conversion this path skips.
+
+    Scale: a pure map — no shuffle, one Arrow batch in flight per
+    task, per-row Python never runs (the kernels execute in native
+    code over whole batches). The cheapest possible shape for custom
+    Python logic at 100 TB."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def features(batches):
+        for b in batches:
+            t = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(t), pa.int64()),
+                    pc.cast(pc.add(pc.count_substring(t, " "), 1),
+                            pa.int64()),
+                ],
+                ["doc_id", "n_cp", "n_tokens"],
+            )
+
+    return d.mapInArrow(
+        features, "doc_id long, n_cp long, n_tokens long")
