@@ -332,26 +332,7 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_agg_collect_sorted",
-    oracle="""
-    SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
-           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic array aggregation: collect_set is UNORDERED (a
-    hash-set, engine- and partition-order-dependent), so any query
-    that emits a collected array MUST array_sort it to be
-    reproducible — this pins that contract as an oracled query.
-
-    Scale: collect_set per group is bounded by the value domain (3
-    statuses), not row count — safe; an unbounded-domain collect is
-    the anti-pattern (use explode + agg instead)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
-        F.countDistinct("o_orderstatus").alias("n_status"),
-    )
+# q_agg_collect_sorted moved to queries/agg_arrays.py (imported first
+# so the driver's 50-query registry-prefix sample re-verifies the r5
+# fix) — and now emits a joined STRING, not a raw array column, which
+# the driver's pandas canonicalizer cannot sort/hash.

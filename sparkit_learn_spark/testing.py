@@ -80,8 +80,35 @@ class OracleMismatch(AssertionError):
     pass
 
 
+def assert_driver_hashable(pdf: pd.DataFrame, name: str = "") -> None:
+    """Reject result frames the DRIVER's canonicalizer cannot hash.
+
+    The driver pandas-``sort_values``es raw result columns before
+    hashing; list/ndarray/dict/set cells make that crash with
+    ``TypeError: unhashable type`` (the r5 q_agg_collect_sorted ERR).
+    The local gate used to serialize such cells (``_cell``) and so was
+    MORE permissive than the driver on exactly this axis. Now any
+    complex cell is a hard local failure: oracled queries must emit
+    primitive columns only (array_join collected arrays to strings).
+    """
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype == object:
+            for v in s:
+                if v is None:
+                    continue
+                if isinstance(v, (list, tuple, set, dict)) or type(v).__name__ == "ndarray":
+                    raise OracleMismatch(
+                        f"{name}: column {c!r} holds {type(v).__name__} cells — "
+                        "not driver-hashable; serialize (array_join) before returning"
+                    )
+                break  # first non-null cell decides the column
+
+
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = "") -> None:
     """Raise OracleMismatch with a useful diff if the two differ."""
+    assert_driver_hashable(spark_pdf, name=name)
+    assert_driver_hashable(duck_pdf, name=name)
     s_cols = sorted(c.lower() for c in spark_pdf.columns)
     d_cols = sorted(c.lower() for c in duck_pdf.columns)
     if s_cols != d_cols:
