@@ -382,7 +382,15 @@ class SparseTable:
         d = n_cols if n_cols is not None else self.shape[1]
         rows = (self.df.groupBy(self.col_col)
                 .agg(F.sum(self.val_col).alias("s")).collect())
-        out = np.zeros(max(d, max((r[0] for r in rows), default=-1) + 1))
+        extent = max((r[0] for r in rows), default=-1) + 1
+        if n_cols is not None and extent > n_cols:
+            # scipy raises on shape/data mismatch; silently widening
+            # past the caller's declared width would hand back a shape
+            # they did not ask for
+            raise ValueError(
+                f"nonzero column extent {extent} exceeds declared n_cols {n_cols}"
+            )
+        out = np.zeros(max(d, extent))
         for r in rows:
             out[r[0]] = r["s"]
         return out

@@ -74,6 +74,7 @@ def learn_bpe_merges(docs: DataFrame, *, n_merges: int = 10,
     ).localCheckpoint(eager=True)
 
     merges: list[tuple] = []
+    prev = None  # superseded checkpoint, unpersisted once replaced
     for rank in range(n_merges):
         pairs = syms.filter(F.size("syms") >= 2).select(
             "cnt",
@@ -96,10 +97,15 @@ def learn_bpe_merges(docs: DataFrame, *, n_merges: int = 10,
             break
         left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((rank, left, right, left + right, cnt))
-        syms = syms.select(
+        prev, syms = syms, syms.select(
             "cnt", _apply_merge(F.col("syms"), left, right).alias("syms")
         ).localCheckpoint(eager=True)
+        # the new eager checkpoint has materialized; release the
+        # superseded one so the loop pins ONE copy in executor
+        # storage, not n_merges (same pattern as operators/ids.py)
+        prev.unpersist()
 
+    syms.unpersist()  # merge table is driver-built; index no longer needed
     return spark.createDataFrame(
         merges, "rank long, left string, right string, merged string, pair_count long"
     )

@@ -181,7 +181,10 @@ def minhash_banded_pairs(docs: DataFrame, *, text_col: str = "text",
     # signature aggregation, doc sizes, and both verify-join sides) —
     # each would re-run tokenize+explode otherwise. Same tradeoff note
     # as q_llm_ngram_jaccard: at cluster scale persist to storage
-    # instead (localCheckpoint pins executor storage).
+    # instead (localCheckpoint pins executor storage). Lifetime: the
+    # returned DataFrame's lineage references these blocks, so they
+    # cannot be unpersisted here; ContextCleaner reclaims them when
+    # the result (and this handle) go out of scope.
     sh = shingle_index(docs, text_col=text_col, id_col=id_col, k=k
                        ).localCheckpoint(eager=True)
     # SQL-string expressions: num_perm stacked-Column aggregates cost

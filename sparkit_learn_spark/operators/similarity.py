@@ -15,6 +15,7 @@ corresponds to cosine ≥ 1 − r²/2.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via __globals__
 from pyspark.ml.feature import BucketedRandomProjectionLSH
 from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, Window
@@ -648,15 +649,26 @@ def ivf_pq_topk(emb: DataFrame, *, k: int = 5, n_lists: int | None = None,
         .applyInPandas(adc_list, schema="qid long, nid long")
     )
 
-    # EXACT refine: candidate-sized joins back to the true vectors,
-    # JVM-side dot, same rounding/tiebreak contract as the exact paths
-    from ..functions.vector import dot as _dot
+    # EXACT refine: candidate-sized joins back to the true vectors.
+    # The dot+round is computed in numpy (np.round = half-to-even, the
+    # SAME rounding as cosine_topk/ivf_topk's BLAS paths) — NOT JVM
+    # F.round (HALF_UP over a sequential fold), which could diverge by
+    # 1e-6 on a .5-boundary sim and break the cross-path bit-equality
+    # contract asserted in tests/test_ml.py.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _np_dot6(q: pd.Series, v: pd.Series) -> pd.Series:
+        if len(q) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        Q = np.array([np.asarray(x, np.float64) for x in q])
+        V = np.array([np.asarray(x, np.float64) for x in v])
+        return pd.Series(np.round(np.einsum("ij,ij->i", Q, V), 6))
 
     qside = vec.select(F.col("vid").alias("qid"), F.col("v").alias("_qvec"))
     nside = vec.select(F.col("vid").alias("nid"), F.col("v").alias("_nvec"))
     scored = (
         cands.join(qside, "qid").join(nside, "nid")
-        .select("qid", "nid",
-                F.round(_dot("_qvec", "_nvec"), 6).alias("sim"))
+        .select("qid", "nid", _np_dot6("_qvec", "_nvec").alias("sim"))
     )
     return _topk_rows(scored, k)
