@@ -64,6 +64,23 @@ HEADLINE = [
 ]
 
 
+def _calibrate_host() -> float:
+    """Fixed-work single-thread spin: hash 128 MiB of zeros (C-speed,
+    deterministic work). On a quiet host this takes a stable wall time;
+    CPU-steal inflates it proportionally — so recording it beside the
+    query timings makes steal-contaminated bench rounds
+    SELF-IDENTIFYING instead of reading as phantom regressions (rounds
+    4-5 both burned analysis time on 1.3-2x wobbles on sub-second
+    queries that were pure host noise)."""
+    import hashlib
+    buf = bytes(65536)
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(2048):
+        h.update(buf)
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -81,6 +98,7 @@ def main() -> None:
     # best-of-N: the first run pays codegen/broadcast warm-up that is
     # not a property of the plan; taking the min kills the false
     # regressions that warm-up noise produced in earlier rounds
+    calib_pre = _calibrate_host()
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     build_times: dict[str, float] = {}
@@ -118,6 +136,11 @@ def main() -> None:
         "build_s": build_times,
         "build_total": round(sum(build_times.values()), 3),
         "timing_method": "exec; build recorded separately",
+        # fixed-work spin (sha256 over 128 MiB) before/after the run:
+        # compare across rounds — an inflated value means host CPU
+        # steal, so same-round query-time wobbles are noise, not
+        # regressions
+        "host_calibration_s": {"pre": calib_pre, "post": _calibrate_host()},
     }
     baseline = _load_baseline()
     if baseline:

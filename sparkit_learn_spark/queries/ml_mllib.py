@@ -292,6 +292,19 @@ def q_llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(e, k=5, seed=SEED)
 
 
+@register("q_llm_ann")  # rows-only: recall checked in pytest (test_ml.py)
+def q_llm_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE default ANN entry point — aliases the IVF-PQ path, the only
+    ANN variant whose shuffle payload is genuinely 100 TB-shaped
+    (8-byte PQ codes instead of raw vectors; exact re-rank on the
+    candidate set restores true similarities). IVF (q_llm_ann_ivf) and
+    LSH (q_llm_ann_lsh) remain registered as comparison baselines.
+    tests/test_ml.py asserts IVF-PQ recall >= plain IVF recall on the
+    clustered fixture, so promoting it is a measured default, not a
+    guess."""
+    return q_llm_ann_ivfpq(spark, sf_dir)
+
+
 @register("q_ml_pca")  # rows-only: eigenvector sign is arbitrary, sklearn-checked in pytest
 def q_ml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA scores of the embeddings: distributed covariance (one

@@ -356,6 +356,27 @@ def test_ivf_pq_topk_recall_and_determinism(spark, sf_dir):
             assert abs(exact_sim[(q, n)] - s) < 1e-9
 
 
+def test_ivf_pq_recall_at_least_ivf(spark, sf_dir):
+    """q_llm_ann defaults to IVF-PQ; that promotion is only honest if
+    the compressed index does not COST recall vs the plain-IVF
+    baseline on the clustered fixture (both seeded → deterministic)."""
+    from sparkit_learn_spark.operators.similarity import (
+        cosine_topk, ivf_pq_topk, ivf_topk,
+    )
+
+    emb = _clustered_embeddings(spark)
+    exact = cosine_topk(emb, k=5).toPandas()
+    exact_pairs = {(q, n) for q, n in zip(exact["qid"], exact["nid"])}
+
+    def recall(df):
+        pairs = {(q, n) for q, n in zip(df["qid"], df["nid"])}
+        return len(exact_pairs & pairs) / len(exact_pairs)
+
+    r_ivf = recall(ivf_topk(emb, k=5).toPandas())
+    r_pq = recall(ivf_pq_topk(emb, k=5).toPandas())
+    assert r_pq >= r_ivf, f"IVF-PQ recall {r_pq} < IVF recall {r_ivf}"
+
+
 def test_ivf_list_balance_metric(spark, sf_dir):
     """The balance diagnostic flags a healthy quantizer (cv < 2,
     max_frac < 0.5 on the fixture) and sums to the corpus size."""

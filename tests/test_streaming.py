@@ -307,3 +307,57 @@ def test_foreachbatch_idempotent_sink(spark, events_stream, events_batch, tmp_pa
     compare_frames(got.toPandas(),
                    T.tumbling_counts(events_batch).toPandas(),
                    name="foreachbatch_idempotent")
+
+
+def test_stateful_incremental_multi_trigger(spark, events_batch, tmp_path):
+    """Incremental-aggregation parity across MULTIPLE availableNow
+    triggers (verdict r5 #7): the events land in three separate file
+    drops, each processed by a separate query run sharing ONE
+    checkpoint, so per-user state must survive query restarts and keep
+    accumulating. Every user's LAST emission (across all three runs)
+    must equal the batch aggregate over the full table — the property
+    an incrementally-maintained aggregate needs in production, where
+    the stream is never replayed from scratch."""
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev = events_batch.select("user_id", "value", "event_id")
+    schema = "user_id long, value double, event_id long"
+
+    sink_dir = str(tmp_path / "sink")
+    for i in range(3):
+        (ev.filter(F.pmod("event_id", F.lit(3)) == i)
+           .write.mode("append").parquet(src_dir))
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+
+        def write_batch(batch_df, batch_id, run=i):
+            (batch_df.withColumn("run", F.lit(run))
+             .write.mode("append").parquet(sink_dir))
+
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        q = (
+            T.running_user_totals_stream(stream)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    all_rows = spark.read.parquet(sink_dir).toPandas()
+    # last emission per user = highest n_events (totals only grow)
+    last = (all_rows.sort_values(["user_id", "n_events"])
+            .groupby("user_id").tail(1).set_index("user_id"))
+    expect = T.running_user_totals_batch(events_batch).toPandas().set_index("user_id")
+    assert len(last) == len(expect)
+    assert (last["n_events"].sort_index() == expect["n_events"].sort_index()).all()
+    # chunked accumulation order differs from the batch sum's, so the
+    # 6dp-rounded floats compare with tolerance, not bit equality
+    diff = (last["sum_value"].sort_index() - expect["sum_value"].sort_index()).abs()
+    assert float(diff.max()) < 2e-6
+    # state really carried across runs: run-2 emissions include counts
+    # from earlier chunks (strictly greater than run 2's own rows)
+    r2 = all_rows[all_rows["run"] == 2]
+    own = ev.filter(F.pmod("event_id", F.lit(3)) == 2).groupBy("user_id").count().toPandas()
+    merged = r2.merge(own, on="user_id")
+    assert (merged["n_events"] > merged["count"]).any()
