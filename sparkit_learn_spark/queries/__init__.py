@@ -46,3 +46,7 @@ from . import llm_pipeline  # noqa: F401
 from . import llm_pipeline3  # noqa: F401
 from . import ml_mllib  # noqa: F401
 from . import ml_stats  # noqa: F401
+# --- round-6 additions (driver-sampled when the prefix rotates in r7) ---
+from . import joins2  # noqa: F401
+from . import aggregations3  # noqa: F401
+from . import llm_pipeline8  # noqa: F401

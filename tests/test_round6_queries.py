@@ -1,0 +1,79 @@
+"""Round-6 query additions: value/accuracy checks beyond the oracle
+gate, and plan-shape guardrails for the new scale-pattern queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkit_learn_spark.catalog import load_table
+from sparkit_learn_spark.registry import all_queries
+
+
+def test_hll_sketch_accuracy(spark, sf_dir):
+    """DataSketches HLL estimates (per-type and unioned total) within
+    5% of exact distinct counts — the accuracy contract that justifies
+    the rows-only oracle exemption."""
+    got = all_queries()["q_agg_hll_sketch"](spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["__total__"] = ev.select("user_id").distinct().count()
+    assert set(got["event_type"]) == set(exact)
+    for _, r in got.iterrows():
+        e = exact[r["event_type"]]
+        assert abs(r["est_users"] - e) <= max(1, 0.05 * e), (r["event_type"], r["est_users"], e)
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    """The salted join's physical plan must join on BOTH the key and
+    the salt (8-way spread of any hot key), and its result equals the
+    unsalted join (also pinned by the DuckDB oracle)."""
+    df = all_queries()["q_join_skew_salted"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    expect = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.round(F.sum("l_extendedprice"), 6).alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy("o_orderstatus").toPandas()
+    )
+    got = df.orderBy("o_orderstatus").toPandas()
+    assert got.equals(expect)
+
+
+def test_interval_overlap_broadcasts_grid(spark, sf_dir):
+    """The quarter grid must be the BROADCAST side of the range join —
+    the fact table never shuffles for it. A sort-merge or shuffled
+    plan here would ship the whole fact table for a 28-row grid."""
+    df = all_queries()["q_join_interval_overlap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan
+
+
+def test_reservoir_sample_is_stable(spark, sf_dir):
+    """The frozen reservoir returns the identical sample across runs
+    and across repartitionings (hash order, not rand())."""
+    q = all_queries()["q_llm_reservoir_sample"]
+    a = q(spark, sf_dir).orderBy("source", "rk").toPandas()
+    b = q(spark, sf_dir).orderBy("source", "rk").toPandas()
+    assert a.equals(b)
+    per_source = a.groupby("source")["rk"].max()
+    docs = load_table(spark, sf_dir, "documents")
+    src_counts = {r["source"]: r["n"] for r in
+                  docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s, mx in per_source.items():
+        assert mx == min(100, src_counts[s])
+
+
+def test_token_budget_never_exceeded(spark, sf_dir):
+    """Every language's kept tokens fit the 20k budget, and adding the
+    next-ranked document would overflow it (greedy maximality)."""
+    got = all_queries()["q_llm_token_budget"](spark, sf_dir).toPandas()
+    assert (got["budget_used"] <= 20000).all()
+    assert (got["tokens_kept"] == got["budget_used"]).all()
