@@ -50,3 +50,4 @@ from . import ml_stats  # noqa: F401
 from . import joins2  # noqa: F401
 from . import aggregations3  # noqa: F401
 from . import llm_pipeline8  # noqa: F401
+from . import sources_q  # noqa: F401

@@ -1,0 +1,62 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API) —
+the extension point for reading systems Spark has no built-in
+connector for (internal APIs, bespoke formats, synthetic generators).
+
+The example source here generates a deterministic arithmetic
+"telemetry" table, partitioned: each InputPartition is an independent
+row range, so a real cluster reads all partitions in parallel with no
+driver involvement beyond planning — exactly how a production
+connector should shape its splits. Values are pure functions of the
+row id, so a SQL oracle (generate_series) can verify the read path
+end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class TelemetrySource(DataSource):
+    """spark.read.format("telemetry").option("rows", N).option("parts", P)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "telemetry"
+
+    def schema(self) -> str:
+        return "id long, sensor string, reading double, window_id long"
+
+    def reader(self, schema) -> "TelemetryReader":
+        return TelemetryReader(
+            int(self.options.get("rows", 1000)),
+            int(self.options.get("parts", 8)),
+        )
+
+
+class TelemetryReader(DataSourceReader):
+    def __init__(self, rows: int, parts: int):
+        self.rows, self.parts = rows, parts
+
+    def partitions(self):
+        step = max(1, self.rows // self.parts)
+        bounds = list(range(0, self.rows, step)) + [self.rows]
+        return [_RangePartition(a, b) for a, b in zip(bounds, bounds[1:])]
+
+    def read(self, partition: _RangePartition):
+        # deterministic pure function of id — no state, no RNG: any
+        # partition can be recomputed independently (task retry safe)
+        for i in range(partition.start, partition.end):
+            yield (i, f"s{i % 7}", (i * 37 % 1000) / 10.0, i // 100)
+
+
+def register_telemetry_source(spark) -> None:
+    """Idempotent registration of the custom source."""
+    try:
+        spark.dataSource.register(TelemetrySource)
+    except Exception:
+        pass  # already registered in this session

@@ -77,3 +77,23 @@ def test_token_budget_never_exceeded(spark, sf_dir):
     got = all_queries()["q_llm_token_budget"](spark, sf_dir).toPandas()
     assert (got["budget_used"] <= 20000).all()
     assert (got["tokens_kept"] == got["budget_used"]).all()
+
+
+def test_pysource_partition_invariance(spark):
+    """The custom Python DataSource returns the same table whatever
+    the split count — partition planning is physical only."""
+    from sparkit_learn_spark.sources.pysource import register_telemetry_source
+
+    register_telemetry_source(spark)
+
+    def read(parts):
+        return (spark.read.format("telemetry")
+                .option("rows", 500).option("parts", parts).load()
+                .orderBy("id").toPandas())
+
+    a, b = read(1), read(8)
+    assert a.equals(b)
+    assert len(a) == 500
+    # spot-check the deterministic value function
+    r = a.iloc[123]
+    assert r["sensor"] == f"s{123 % 7}" and r["reading"] == (123 * 37 % 1000) / 10.0
