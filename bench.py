@@ -61,6 +61,11 @@ HEADLINE = [
     "q_tpch_q8",            # 8-table double-role-nation market share
     "q_llm_embed_outliers", # per-label centroid cosine outliers
     "q_evt_funnel",         # event-analytics family representative
+    # round-6 additions: one representative per new family
+    "q_join_skew_salted",   # salted skew join (x8 spread, oracled == unsalted)
+    "q_snapshot_diff",      # single-scan CDC snapshot classification
+    "q_json_variant",       # VARIANT parse-once / typed-extract path
+    "q_llm_reservoir_sample",  # frozen per-stratum bottom-k sample
 ]
 
 
