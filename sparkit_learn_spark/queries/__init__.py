@@ -51,3 +51,4 @@ from . import joins2  # noqa: F401
 from . import aggregations3  # noqa: F401
 from . import llm_pipeline8  # noqa: F401
 from . import sources_q  # noqa: F401
+from . import tpch3  # noqa: F401
