@@ -53,3 +53,4 @@ from . import llm_pipeline8  # noqa: F401
 from . import sources_q  # noqa: F401
 from . import tpch3  # noqa: F401
 from . import analytics2  # noqa: F401
+from . import sql_surface  # noqa: F401
