@@ -146,3 +146,80 @@ def q_mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_id", "format", "sample_rate", "channels", "bits_per_sample",
         "n_frames", F.round("duration_s", 6).alias("duration_s"), "n_bytes",
     )
+
+
+_FRAME_SIZE = 256
+_VID_HEADER = 64
+
+
+def _make_video_blob(doc_id: int, n_chars: int) -> bytes:
+    """A minimal "video container": 64-byte header (magic + frame
+    count + frame size) followed by n_frames fixed-size frames whose
+    bytes derive from (doc_id, frame_no) — enough structure for the
+    frame sampler to walk."""
+    n_frames = 1 + (n_chars % 50)
+    header = (b"VID0" + struct.pack("<II", n_frames, _FRAME_SIZE)
+              ).ljust(_VID_HEADER, b"\x00")
+    frames = b"".join(
+        bytes([(doc_id + f) % 256]) * _FRAME_SIZE for f in range(n_frames)
+    )
+    return header + frames
+
+
+@register(
+    "q_mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id AS item_id,
+           CAST(i AS INT)                    AS frame_no,
+           CAST(i * {_FRAME_SIZE} AS BIGINT) AS byte_offset
+    FROM documents,
+         unnest(range(0, 2 + (n_chars % 50))) AS u(i)
+    """,
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (STUB decode, REAL plumbing): synthesized
+    container blobs (64B header + n fixed-size frames) walked by the
+    fixed-stride frame sampler — the 1→N mapInPandas explode shape a
+    real sampler has. Total blob length is 64 + n_frames·256, so
+    stride-256 sampling yields n_frames+1 offsets (the header byte 0
+    plus one per frame start) — the oracle recomputes exactly that
+    from the generating arithmetic, value-checking the walk.
+
+    Scale: zero-shuffle, embarrassingly parallel; output rows scale
+    with sampled frames, not blob bytes."""
+    from ..operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = _blob_frame(d, _make_video_blob)
+    return sample_frames(blobs, every_n_bytes=_FRAME_SIZE).select(
+        "item_id", "frame_no", F.col("byte_offset").cast("long")
+    )
+
+
+@register(
+    "q_mm_features",
+    oracle="""
+    SELECT CAST(16 AS INT) AS feature_dim,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+)
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary→embedding feature extraction (deterministic fake
+    extractor behind the real mapInPandas plumbing): every synthesized
+    image blob maps to a 16-dim vector; the query asserts the
+    cardinality contract (one vector per item, fixed dim) in an
+    oracle-checkable aggregate, while per-value determinism is pinned
+    in tests/test_multimodal.py. The feature column itself feeds the
+    similarity operators (cosine_topk / ann paths) — the multimodal →
+    vector-search bridge."""
+    from ..operators.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = _blob_frame(d, _make_image_blob)
+    feats = extract_features(blobs, dim=16)
+    return feats.groupBy(F.col("feature_dim").cast("int")).agg(
+        F.count("*").alias("n_items"),
+        F.countDistinct("item_id").alias("n_distinct"),
+    ).select("feature_dim", "n_items", "n_distinct")

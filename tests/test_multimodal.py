@@ -166,3 +166,34 @@ def test_wav_header_decode_real_bytes(spark):
     assert (got[2]["sample_rate"], got[2]["channels"]) == (44100, 2)
     assert abs(got[2]["duration_s"] - 0.1) < 1e-9
     assert all(r["format"] == "wav_pcm" for r in got.values())
+
+
+def test_feature_extraction_deterministic(spark, sf_dir):
+    """q_mm_features' per-value contract: the fake extractor is a pure
+    function of the blob bytes — two runs yield identical vectors,
+    and every vector has the declared dim."""
+    from sparkit_learn_spark.queries.multimodal_q import (
+        _blob_frame, _make_image_blob,
+    )
+    from sparkit_learn_spark.operators.multimodal import extract_features
+    from sparkit_learn_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    blobs = _blob_frame(d, _make_image_blob)
+    a = extract_features(blobs, dim=16).orderBy("item_id").toPandas()
+    b = extract_features(blobs, dim=16).orderBy("item_id").toPandas()
+    assert len(a) == 50
+    for va, vb in zip(a["feature"], b["feature"]):
+        assert list(va) == list(vb) and len(va) == 16
+
+
+def test_frame_sample_walks_every_frame(spark, sf_dir):
+    """Each item's sampled offsets are the exact stride walk of its
+    container: 0, 256, ..., n_frames*256 (header + every frame)."""
+    from sparkit_learn_spark.registry import all_queries
+
+    got = all_queries()["q_mm_frame_sample"](spark, sf_dir).toPandas()
+    per = got.groupby("item_id")
+    for iid, g in list(per)[:20]:
+        offs = sorted(g["byte_offset"])
+        assert offs == [i * 256 for i in range(len(offs))]
