@@ -280,3 +280,57 @@ def test_except_all_is_counted_aggregate_not_join(spark, sf_dir):
     assert "Join" not in plan, plan[:1500]
     assert "Generate" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+
+
+def test_tpch_q9_broadcasts_dims(spark, sf_dir):
+    """Q9's part/supplier/nation edges must all be broadcast — the
+    only sort-merge-worthy shuffle is lineitem ⋈ orders."""
+    plan = explain_str(Q["q_tpch_q9"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q11_threshold_no_driver_collect(spark, sf_dir):
+    """Q11's global-share threshold must arrive as a broadcast scalar
+    (one-row join), never a Python-side collect; and the comparison
+    runs in integer cents (no float in the filter)."""
+    plan = explain_str(Q["q_tpch_q11"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_attribution_single_user_window(spark, sf_dir):
+    """Last-touch attribution is ONE user-partitioned window pass —
+    no self-join of events against events."""
+    plan = explain_str(Q["q_evt_attribution"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_scd2_single_window_no_self_join(spark, sf_dir):
+    plan = explain_str(Q["q_scd2_history"](spark, sf_dir))
+    assert "Join" not in plan  # lead() only — any join means the O(n²) form
+    assert plan.count("Window") >= 1
+
+
+def test_snapshot_diff_single_scan(spark, sf_dir):
+    """The conditional-aggregation rewrite reads lineitem ONCE — a
+    second scan would mean the two-snapshot self-join came back."""
+    plan = explain_str(Q["q_snapshot_diff"](spark, sf_dir))
+    # formatted explain prints each scan twice (tree + detail) —
+    # count distinct scan locations instead
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+
+
+def test_merge_upsert_is_single_full_outer(spark, sf_dir):
+    plan = explain_str(Q["q_merge_upsert"](spark, sf_dir))
+    assert "FullOuter" in plan
+    # target + source read once each (scan locations, not text dupes)
+    assert plan.count("Location: InMemoryFileIndex") == 2
+
+
+def test_variant_no_python_eval(spark, sf_dir):
+    """VARIANT parse + typed extraction stays entirely JVM-side."""
+    plan = explain_str(Q["q_json_variant"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
