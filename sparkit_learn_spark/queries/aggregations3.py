@@ -126,3 +126,39 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.f").alias("mode_flag"),
         (-F.col("b.neg")).cast("long").alias("n"),
     )
+
+
+@register(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>')  AS rf,
+           COALESCE(l_linestatus, '<all>')  AS ls,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT)                  AS gid,
+           CAST(COUNT(*) AS BIGINT)         AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() disambiguation: a NULL key cell can mean
+    'subtotal row' or 'the data really was NULL' — grouping() is the
+    only correct discriminator, and the composed gid makes each
+    aggregation level addressable (0=detail, 1=per-flag, 3=grand).
+
+    Scale: same expand-then-aggregate as q_agg_rollup; the grouping id
+    is metadata, free at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("long").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "gid", "n",
+        )
+    )

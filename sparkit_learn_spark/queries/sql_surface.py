@@ -145,3 +145,37 @@ def q_ids_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stable_sorted_ids(terms, "term", id_col="term_id").select(
         "term", F.col("term_id").cast("long")
     )
+
+
+@register(
+    "q_sql_lateral",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+    FROM orders o, LATERAL (
+      SELECT l_linenumber, l_extendedprice FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+    ) l
+    """,
+)
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY LIMIT — the
+    SQL-text spelling of top-k-per-group. Catalyst decorrelates it
+    into a window/rank plan (same physical shape as q_win_topk_group),
+    so the 'subquery per outer row' the text describes never executes
+    row-at-a-time.
+
+    Scale: after decorrelation this is one shuffle on the join key —
+    verify with .explain that no nested-loop per-row execution
+    appears; the deterministic tiebreak (linenumber) keeps the LIMIT
+    stable."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+      SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+      FROM orders_v o, LATERAL (
+        SELECT l_linenumber, l_extendedprice FROM lineitem_v
+        WHERE l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+      ) l
+    """)
