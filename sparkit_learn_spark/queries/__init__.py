@@ -54,3 +54,4 @@ from . import sources_q  # noqa: F401
 from . import tpch3  # noqa: F401
 from . import analytics2  # noqa: F401
 from . import sql_surface  # noqa: F401
+from . import timeseries  # noqa: F401
