@@ -162,3 +162,34 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid", "n",
         )
     )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via bitmap aggregation (Spark 3.5+ bitmap
+    functions): ids bucket into 32k-bit bitmaps
+    (bitmap_bucket_number / bitmap_construct_agg), per-bucket bitmaps
+    OR-merge associatively, and bitmap_count sums to the exact
+    distinct — the middle ground between COUNT(DISTINCT)'s
+    expand-shuffle and HLL's approximation. Because it is EXACT, the
+    oracle is plain COUNT(DISTINCT): the whole bitmap machinery must
+    reproduce it bit-for-bit.
+
+    Scale: a stored bitmap column rolls up across partitions/days
+    without rescanning (like sketches, q_agg_hll_sketch) but with no
+    error; memory is |id-range|/8 bytes per group — the trade to know."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users")
+    )
