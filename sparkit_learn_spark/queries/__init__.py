@@ -55,3 +55,4 @@ from . import tpch3  # noqa: F401
 from . import analytics2  # noqa: F401
 from . import sql_surface  # noqa: F401
 from . import timeseries  # noqa: F401
+from . import graph_q  # noqa: F401  (after llm_pipeline2: oracle CTE dep)

@@ -1,0 +1,43 @@
+"""PageRank numpy-oracle parity + degree sanity for the graph wave."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sparkit_learn_spark.registry import all_queries
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    """operators/graph.pagerank == explicit numpy power iteration on
+    the same (deterministic, exact-Jaccard) edge set."""
+    pairs = all_queries()["q_llm_ngram_jaccard"](spark, sf_dir).toPandas()
+    edges = set()
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        edges.add((int(a), int(b)))
+        edges.add((int(b), int(a)))
+    nodes = sorted({a for a, _ in edges})
+    assert nodes, "fixture must contain near-dup pairs"
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, _ in edges:
+        deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        inflow = np.zeros(n)
+        for a, b in edges:
+            inflow[idx[b]] += r[idx[a]] / deg[idx[a]]
+        r = (1 - 0.85) / n + 0.85 * inflow
+
+    got = all_queries()["q_graph_pagerank"](spark, sf_dir).toPandas()
+    assert len(got) == n
+    for doc, rank in zip(got["doc_id"], got["rank"]):
+        assert abs(rank - r[idx[int(doc)]]) < 1e-6, doc
+    # ranks form a distribution
+    assert abs(got["rank"].sum() - 1.0) < 1e-3
+
+
+def test_degree_consistent_with_pairs(spark, sf_dir):
+    pairs = all_queries()["q_llm_ngram_jaccard"](spark, sf_dir).toPandas()
+    deg = all_queries()["q_graph_degree"](spark, sf_dir).toPandas()
+    assert deg["degree"].sum() == 2 * len(pairs)
