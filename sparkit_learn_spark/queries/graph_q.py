@@ -24,11 +24,12 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated everywhere).
 
     Scale: one explode of the (already candidate-bounded) pair list +
-    one count — edge-grain, never all-pairs."""
+    one count — edge-grain, never all-pairs. explode, not a unionAll
+    of two selects: the union form would execute the expensive
+    candidate-verify pair lineage TWICE."""
     pairs = q_llm_ngram_jaccard(spark, sf_dir)
     return (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("degree"))
     )
