@@ -56,3 +56,4 @@ from . import analytics2  # noqa: F401
 from . import sql_surface  # noqa: F401
 from . import timeseries  # noqa: F401
 from . import graph_q  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
+from . import dataquality  # noqa: F401
