@@ -66,6 +66,12 @@ HEADLINE = [
     "q_snapshot_diff",      # single-scan CDC snapshot classification
     "q_json_variant",       # VARIANT parse-once / typed-extract path
     "q_llm_reservoir_sample",  # frozen per-stratum bottom-k sample
+    "q_tpch_q9",            # TPC-H wave-3 representative (profit rollup)
+    "q_evt_rfm",            # analytics wave-2 (per-user aggregate + ntiles)
+    "q_sql_lateral",        # SQL-text LATERAL top-k-per-group
+    "q_ts_interpolate",     # calendar-spine linear interpolation
+    "q_graph_degree",       # near-dup graph degree (pair pipeline + explode)
+    "q_dq_checks",          # data-quality constraint report
 ]
 
 
