@@ -57,3 +57,4 @@ from . import sql_surface  # noqa: F401
 from . import timeseries  # noqa: F401
 from . import graph_q  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
 from . import dataquality  # noqa: F401
+from . import udfs2  # noqa: F401

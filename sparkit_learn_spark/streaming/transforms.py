@@ -212,3 +212,45 @@ def running_user_totals_batch(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Streaming last-touch attribution via applyInPandasWithState:
+    state per user = the latest click timestamp seen; every purchase
+    emits (user_id, purchase ts, attributed click ts, value) as it
+    arrives. The streaming twin of the batch q_evt_attribution window
+    (tests assert day-level parity).
+
+    State is ONE timestamp per user (bounded); rows are sorted within
+    the batch so intra-batch order cannot leak engine batch-chunking
+    into results.
+
+    Scale: state store shards by user_id; emission is purchase-grain.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        last = state.get[0] if state.exists else -1  # epoch micros, -1 = none
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples():
+                t = int(r.ts.value // 1000)  # ns -> us
+                if r.event_type == "click":
+                    last = t
+                elif r.event_type == "purchase":
+                    rows.append((key[0], t, last, float(r.value)))
+        state.update((last,))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "purchase_us", "click_us", "value"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, purchase_us long, click_us long, value double",
+        stateStructType="last long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -361,3 +361,35 @@ def test_stateful_incremental_multi_trigger(spark, events_batch, tmp_path):
     own = ev.filter(F.pmod("event_id", F.lit(3)) == 2).groupBy("user_id").count().toPandas()
     merged = r2.merge(own, on="user_id")
     assert (merged["n_events"] > merged["count"]).any()
+
+
+def test_attribution_stream_matches_batch_window(spark, sf_dir, events_stream, events_batch):
+    """Streaming last-touch attribution (stateful, one timestamp per
+    user) aggregated to day grain equals the batch window form
+    (q_evt_attribution's logic): same purchases, same attributed
+    count, same attributed value."""
+    q = (
+        T.attribution_stream(events_stream)
+        .writeStream.format("memory")
+        .queryName("mem_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        """
+        SELECT CAST(date_trunc('day', timestamp_micros(purchase_us)) AS DATE) AS day,
+               COUNT(*) AS purchases,
+               COUNT(CASE WHEN click_us >= 0 THEN 1 END) AS attributed,
+               ROUND(SUM(CASE WHEN click_us >= 0 THEN value ELSE 0 END), 6)
+                 AS attributed_value
+        FROM mem_attr GROUP BY 1
+        """
+    ).toPandas()
+    from sparkit_learn_spark.registry import all_queries
+
+    expect = all_queries()["q_evt_attribution"](
+        spark, sf_dir
+    ).toPandas()
+    compare_frames(got, expect, name="attribution_stream")
