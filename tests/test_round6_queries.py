@@ -97,3 +97,25 @@ def test_pysource_partition_invariance(spark):
     # spot-check the deterministic value function
     r = a.iloc[123]
     assert r["sensor"] == f"s{123 % 7}" and r["reading"] == (123 * 37 % 1000) / 10.0
+
+
+def test_observation_metrics_free_with_main_pass(spark, sf_dir):
+    """df.observe collects dataset metrics DURING the main action (no
+    second scan) — the cheap runtime counterpart of q_dq_checks for
+    always-on monitoring. Metrics must equal a separate aggregation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("null_dates"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["rows"] == o.count()
+    assert m["null_dates"] == o.filter(F.col("o_orderdate").isNull()).count()
+    assert m["max_price"] == o.agg(F.max("o_totalprice")).first()[0]
