@@ -65,3 +65,101 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.round("rank", 8).alias("rank"),
     )
+
+
+@register("q_graph_components")
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the EXACT-Jaccard near-dup graph —
+    the first iterative-algorithm query with an EXACT SQL oracle: the
+    DuckDB side computes the same labels via a recursive CTE
+    (transitive reachability, min label per node), so the distributed
+    min-label propagation (operators/components.py, with its
+    small-star/large-star fallback) is value-verified, not just
+    row-counted.
+
+    Scale: propagation is join+min per round, diameter-bounded;
+    the recursive-CTE oracle is exponential in cluster size and only
+    viable because dedup clusters are small — the oracle validates,
+    the operator scales."""
+    from ..operators.components import connected_components
+
+    pairs = q_llm_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return comp.select(F.col("node").alias("doc_id"),
+                       F.col("comp").cast("long").alias("comp"))
+
+
+set_oracle("q_graph_components", f"""
+WITH RECURSIVE pairs AS ({ORACLES["q_llm_ngram_jaccard"]}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS comp
+FROM reach GROUP BY node
+""")
+
+
+@register("q_graph_keep_best")
+def q_graph_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principled dedup keep-choice: within each near-dup cluster keep
+    the LONGEST document (n_chars, doc_id tiebreak) — composed from
+    components + a per-cluster argmax (min(struct(-len, id)), one
+    aggregation, no window). Returns one row per cluster with its
+    size and the kept doc.
+
+    Scale: cluster table is node-grain; the argmax merges map-side."""
+    from ..catalog import load_table
+    from ..operators.components import connected_components
+
+    pairs = q_llm_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = comp.join(docs, comp.node == docs.doc_id)
+    best = labeled.groupBy("comp").agg(
+        F.count("*").alias("cluster_size"),
+        F.min(F.struct((-F.col("n_chars")).alias("neg"),
+                       F.col("doc_id").alias("id"))).alias("b"),
+    )
+    return best.select(
+        F.col("comp").cast("long"),
+        F.col("cluster_size"),
+        F.col("b.id").alias("keep_doc"),
+        (-F.col("b.neg")).cast("long").alias("keep_len"),
+    )
+
+
+set_oracle("q_graph_keep_best", f"""
+WITH RECURSIVE pairs AS ({ORACLES["q_llm_ngram_jaccard"]}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node),
+labeled AS (
+  SELECT c.comp, d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.comp
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+sizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n FROM labeled GROUP BY comp)
+SELECT CAST(l.comp AS BIGINT) AS comp,
+       s.n AS cluster_size,
+       l.doc_id AS keep_doc,
+       CAST(l.n_chars AS BIGINT) AS keep_len
+FROM labeled l JOIN sizes s USING (comp) WHERE l.rn = 1
+""")
