@@ -146,3 +146,79 @@ def q_llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("lang_share"),
         F.sum("tokens").over(w_cum).cast("long").alias("cum_tokens"),
     )
+
+
+@register(
+    "q_llm_kn_bigram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, u.w, u.i
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+           LATERAL (SELECT UNNEST(ws) AS w,
+                           generate_subscripts(ws, 1) AS i) u
+    ),
+    bi AS (
+      SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      GROUP BY 1, 2
+    ),
+    uni AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n_follow
+            FROM bi GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_prec FROM bi GROUP BY w2),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM bi)
+    SELECT w1, w2, c12,
+           ROUND( (GREATEST(c12 - 0.75, 0) / c1)
+                 + (0.75 / c1) * n_follow * (n_prec * 1.0 / n_bi), 6)
+             AS p_kn
+    FROM bi JOIN uni USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+    ORDER BY c12 DESC, w1, w2 LIMIT 50
+    """,
+)
+def q_llm_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM (absolute discount d=0.75):
+    P(w2|w1) = max(c12−d,0)/c1 + (d/c1)·N_follow(w1)·P_cont(w2),
+    with the continuation probability N_prec(w2)/|bigrams| — the
+    smoothing that makes n-gram quality scores robust to unseen
+    continuations (upgrade over the add-k bigram LM,
+    q_llm_bigram_lm). Every term is an exact integer count, so the
+    single float formula is bit-identical cross-engine and the top-50
+    report is exactly oracled.
+
+    Scale: three count aggregations (bigram, left-marginal,
+    right-continuation) + one broadcast scalar; no windows over the
+    corpus. The bigram self-join in the ORACLE is the validation-only
+    form — the Spark side derives bigrams positionally per document
+    with zip-shifted arrays, one pass."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select(F.split("text", " ").alias("ws"))
+    bi = (
+        ws.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, F.size("ws") - 1),
+                    F.slice("ws", 2, F.size("ws") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("c12"))
+    )
+    uni = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n_follow")
+    )
+    cont = bi.groupBy("w2").agg(F.count("*").alias("n_prec"))
+    tot = bi.agg(F.count("*").alias("n_bi"))
+    p_kn = (
+        F.greatest(F.col("c12") - 0.75, F.lit(0.0)) / F.col("c1")
+        + (0.75 / F.col("c1")) * F.col("n_follow")
+        * (F.col("n_prec") * 1.0 / F.col("n_bi"))
+    )
+    return (
+        bi.join(uni, "w1").join(cont, "w2").crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", F.round(p_kn, 6).alias("p_kn"))
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(50)
+    )
