@@ -254,3 +254,60 @@ def attribution_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_timeout_stream(events: DataFrame, *, gap_s: int = 1800) -> DataFrame:
+    """Custom sessionization with PROCESSING-TIME state timeout: a
+    user's running session (start, end, n, value sum) accumulates in
+    state; when no new events arrive for ``gap_s`` of processing time,
+    the timeout callback fires and the CLOSED session is emitted —
+    the pattern for "emit when the user goes idle", which windowed
+    aggregation cannot express (it emits on watermark, not on
+    per-group idleness).
+
+    Built on applyInPandasWithState + GroupStateTimeout.
+    ProcessingTimeTimeout: hasTimedOut distinguishes the idle callback
+    from a data batch. State is 4 scalars per live user.
+
+    Scale: state store shards by user; timeouts fire per group without
+    scanning others."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            s0, s1, n, v = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "sess_start_us": [s0],
+                 "sess_end_us": [s1], "n_events": [n],
+                 "sum_value": [round(v, 6)]}
+            )
+            return
+        s0, s1, n, v = state.get if state.exists else (None, None, 0, 0.0)
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                t = int(r.ts.value // 1000)
+                s0 = t if s0 is None else min(s0, t)
+                s1 = t if s1 is None else max(s1, t)
+                n += 1
+                v += float(r.value)
+        state.update((s0, s1, n, v))
+        state.setTimeoutDuration(gap_s * 1000)
+        yield pd.DataFrame(
+            {"user_id": pd.Series(dtype="int64"),
+             "sess_start_us": pd.Series(dtype="int64"),
+             "sess_end_us": pd.Series(dtype="int64"),
+             "n_events": pd.Series(dtype="int64"),
+             "sum_value": pd.Series(dtype="float64")}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=("user_id long, sess_start_us long, sess_end_us long, "
+                          "n_events long, sum_value double"),
+        stateStructType="s0 long, s1 long, n long, v double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -393,3 +393,49 @@ def test_attribution_stream_matches_batch_window(spark, sf_dir, events_stream, e
         spark, sf_dir
     ).toPandas()
     compare_frames(got, expect, name="attribution_stream")
+
+
+def test_session_timeout_emits_on_idle(spark, sf_dir, tmp_path):
+    """Processing-time state timeout: once the only file is consumed
+    and the 5s gap lapses, the engine's self-scheduled timeout batches
+    must EMIT every open session (state removed) — totals equal the
+    batch per-user aggregate. Polling, not processAllAvailable: with
+    processing-time timeouts the engine always has future work
+    scheduled, so processAllAvailable would never settle."""
+    import time
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value").limit(2000)
+    ev.write.parquet(src)
+    n_users = ev.select("user_id").distinct().count()
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    q = (
+        T.session_timeout_stream(stream, gap_s=5)
+        .writeStream.format("memory")
+        .queryName("mem_sess_to")
+        .outputMode("append")
+        .start()
+    )
+    got = None
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            time.sleep(5)
+            got = spark.sql(
+                "SELECT user_id, SUM(n_events) AS n, ROUND(SUM(sum_value), 6) AS v "
+                "FROM mem_sess_to GROUP BY user_id"
+            ).toPandas()
+            if len(got) >= n_users:
+                break
+    finally:
+        q.stop()
+    expect = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v"))
+        .toPandas()
+    )
+    assert len(got) == len(expect) == n_users
+    g = got.set_index("user_id").sort_index()
+    e = expect.set_index("user_id").sort_index()
+    assert (g["n"] == e["n"]).all()
+    assert (g["v"] - e["v"]).abs().max() < 2e-6
