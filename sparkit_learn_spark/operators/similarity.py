@@ -672,3 +672,60 @@ def ivf_pq_topk(emb: DataFrame, *, k: int = 5, n_lists: int | None = None,
         .select("qid", "nid", _np_dot6("_qvec", "_nvec").alias("sim"))
     )
     return _topk_rows(scored, k)
+
+
+def mmr_rerank(emb: DataFrame, *, k: int = 5, fetch: int = 20,
+               lam: float = 0.7, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal-marginal-relevance re-rank: from each query's top-
+    ``fetch`` cosine candidates, greedily select ``k`` balancing
+    relevance against redundancy —
+    argmax over remaining d of  lam·sim(q,d) − (1−lam)·max_{s∈S} sim(d,s).
+
+    Returns (qid, nid, mmr_rank, relevance, diversity_penalty).
+    Deterministic: candidate sims are the exact path's 6dp-rounded
+    values and ties break on nid.
+
+    Scale: the greedy loop runs per query over ≤``fetch`` candidates
+    inside applyInPandas — O(k·fetch) numpy per group, embarrassingly
+    parallel across queries; only (qid, candidate) rows shuffle. The
+    anti-pattern is a global driver loop over all queries."""
+    import numpy as np
+    import pandas as pd
+
+    cand = cosine_topk(emb, k=fetch, id_col=id_col, vec_col=vec_col)
+    vecs = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    qvecs = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    joined = cand.join(vecs, "nid").join(qvecs, "qid")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sim", "nid"], ascending=[False, True])
+        nids = pdf["nid"].to_numpy()
+        sims = pdf["sim"].to_numpy(dtype=np.float64)
+        C = np.array([np.asarray(v, np.float64) for v in pdf["nv"]])
+        qid = int(pdf["qid"].iloc[0])
+        n = len(nids)
+        picked: list[int] = []
+        pen = np.zeros(n)
+        avail = np.ones(n, dtype=bool)
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            score = lam * sims - (1 - lam) * pen
+            score[~avail] = -np.inf
+            # deterministic argmax with nid tiebreak: nids are sim-desc,
+            # nid-asc sorted, and argmax returns the first maximum
+            j = int(np.argmax(np.round(score, 9)))
+            picked.append(j)
+            avail[j] = False
+            rows.append((qid, int(nids[j]), rank,
+                         float(sims[j]), float(pen[j])))
+            new_sim = np.round(C @ C[j], 6)
+            pen = np.maximum(pen, new_sim)
+        return pd.DataFrame(rows, columns=["qid", "nid", "mmr_rank",
+                                           "relevance", "diversity_penalty"])
+
+    return joined.groupBy("qid").applyInPandas(
+        greedy,
+        schema=("qid long, nid long, mmr_rank int, relevance double, "
+                "diversity_penalty double"),
+    )

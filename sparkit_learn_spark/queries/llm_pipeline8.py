@@ -222,3 +222,17 @@ def q_llm_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c12"), "w1", "w2")
         .limit(50)
     )
+
+
+@register("q_llm_mmr")  # rows-only: greedy float fixpoint — numpy-oracled in pytest
+def q_llm_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (λ=0.7): each vector's top-20 cosine
+    candidates greedily re-ranked to 5 results balancing relevance vs
+    redundancy — the diversity step between ANN retrieval and
+    training-pair selection. Greedy runs per query inside
+    applyInPandas (bounded candidate sets); numpy parity in
+    tests/test_ml.py."""
+    from ..operators.similarity import mmr_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(e, k=5, fetch=20)

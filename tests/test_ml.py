@@ -494,3 +494,46 @@ def test_minhash_banded_crafted_near_dups(spark):
     found = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
     assert (1, 2) in found
     assert not any(3 in p for p in found)
+
+
+def test_mmr_rerank_matches_numpy_greedy(spark, sf_dir):
+    """MMR re-rank == explicit numpy greedy on the same candidates:
+    same picks, same ranks, for every query in the clustered fixture."""
+    import numpy as np
+
+    from sparkit_learn_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    emb = _clustered_embeddings(spark)
+    fetch, k, lam = 10, 3, 0.7
+    got = mmr_rerank(emb, k=k, fetch=fetch, lam=lam).toPandas()
+    cand = cosine_topk(emb, k=fetch).toPandas()
+    vecs = {int(r["vec_id"]): np.asarray(r["embedding"], np.float64)
+            for r in emb.collect()}
+
+    for qid, g in cand.groupby("qid"):
+        g = g.sort_values(["sim", "nid"], ascending=[False, True])
+        nids = g["nid"].to_numpy()
+        sims = g["sim"].to_numpy(np.float64)
+        C = np.array([vecs[int(n)] for n in nids])
+        pen = np.zeros(len(nids))
+        avail = np.ones(len(nids), dtype=bool)
+        expect = []
+        for _ in range(min(k, len(nids))):
+            score = lam * sims - (1 - lam) * pen
+            score[~avail] = -np.inf
+            j = int(np.argmax(np.round(score, 9)))
+            expect.append(int(nids[j]))
+            avail[j] = False
+            pen = np.maximum(pen, np.round(C @ C[j], 6))
+        mine = (got[got["qid"] == qid].sort_values("mmr_rank")["nid"]
+                .astype(int).tolist())
+        assert mine == expect, (qid, mine, expect)
+    # diversity sanity: for at least one query MMR must deviate from
+    # pure relevance order (the clustered fixture has redundant docs)
+    plain = {q: g.sort_values(["sim", "nid"], ascending=[False, True])["nid"]
+                 .head(k).astype(int).tolist()
+             for q, g in cand.groupby("qid")}
+    assert any(
+        got[got["qid"] == q].sort_values("mmr_rank")["nid"].astype(int).tolist()
+        != plain[q] for q in plain
+    )
