@@ -59,3 +59,4 @@ from . import graph_q  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
 from . import dataquality  # noqa: F401
 from . import udfs2  # noqa: F401
 from . import wave7  # noqa: F401
+from . import wave8  # noqa: F401

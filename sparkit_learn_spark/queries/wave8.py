@@ -1,0 +1,164 @@
+"""Round-6 final wave: broadcast Bloom-pruned semi-join, rolling
+median windows, and perceptual-hash (dHash) image near-dup — the last
+scale-pattern gaps (runtime-filter-style pruning, order-statistic
+frames, multimodal dedup).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "q_join_bloom_prune",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+    WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'GERMANY')
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join through a hand-built broadcast Bloom bitset
+    (operators/bloomjoin.py): German suppliers' keys compress to a
+    1 KiB array<bigint> that prunes lineitem with pure-codegen bit
+    tests BEFORE the exact semi-join removes false positives — the
+    shape Spark's runtime row-level filtering injects, built from
+    public primitives. Result is exactly the plain semi-join's.
+
+    Scale: the 100 TB fact side never shuffles for the pruning step;
+    only Bloom survivors (~keys/25 of rows + ~0.1% false positives at
+    8192 bits / 3 hashes) reach the exact join, which is itself a
+    broadcast."""
+    from ..operators.bloomjoin import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    keys = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    return (
+        bloom_semi_join(li, keys, "l_suppkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+             .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_win_rolling_median",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(median(o_totalprice) OVER w, 6) AS roll_median,
+           ROUND(avg(o_totalprice)    OVER w, 6) AS roll_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN over a 7-row frame — the order-statistic window
+    Spark's aggregate ``median`` refuses a frame for. Expressed as
+    ``array_sort(collect_list(...))`` over the frame + positional
+    middle (interpolating even counts exactly like quantile_cont 0.5),
+    so the whole thing stays JVM-side.
+
+    Scale: one window pass; per-row state is the O(frame)=7-element
+    array, constant in table size — safe at any scale so long as the
+    frame, not the partition, bounds the collect_list."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.array_sort(F.collect_list("o_totalprice").over(w)).alias("_a"),
+            F.round(F.avg("o_totalprice").over(w), 6).alias("roll_avg"),
+        )
+        .withColumn(
+            "roll_median",
+            F.round(
+                F.expr(
+                    "CASE WHEN size(_a) % 2 = 1"
+                    " THEN element_at(_a, CAST((size(_a) + 1) DIV 2 AS INT))"
+                    " ELSE (element_at(_a, CAST(size(_a) DIV 2 AS INT))"
+                    "     + element_at(_a, CAST(size(_a) DIV 2 + 1 AS INT))) / 2 END"
+                ),
+                6,
+            ),
+        )
+        .select("o_orderkey", "roll_median", "roll_avg")
+    )
+
+
+def _make_pixel_blob(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic fake 8x9 'pixel grid' blob with PLANTED near-dups:
+    docs share a base grid per group of 5; member m perturbs the first
+    m bytes' positions (rows 0-3 only, so dHash bits 32-63 — bands 3
+    and 4 — stay identical within a group, guaranteeing band recall)."""
+    group, member = doc_id // 5, doc_id % 5
+    base = bytearray((hashlib.sha256(b"px%d" % group).digest() * 3)[:72])
+    for j in range(member):
+        base[(j * 11) % 36] ^= 0x24
+    return bytes(base)
+
+
+@register("q_mm_phash_neardup")  # rows-only: dHash banding — pytest-oracled
+def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via perceptual hash: dHash-64 per
+    image (operators/multimodal.py dhash64 — mapInPandas, no shuffle),
+    4x16-bit LSH bands to candidates, exact Hamming <= 10 verify —
+    the image-side twin of q_llm_simhash_dedup, completing dedup
+    coverage across modalities. Blobs are synthesized distributed with
+    planted per-group near-dups; a real pipeline swaps the synth for
+    a pixel decoder, everything downstream unchanged.
+
+    Scale: banded (never all-pairs); hashes are 8 bytes/image, so the
+    band join shuffles id+hash only — image bytes never shuffle."""
+    from ..operators.multimodal import dhash64
+    from .multimodal_q import _blob_frame
+
+    d = load_table(spark, sf_dir, "documents")
+    sk = dhash64(_blob_frame(d, _make_pixel_blob))
+    bands = sk.select(
+        "item_id",
+        "dhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("dhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+            )
+            for i in range(4)
+        ])).alias("bv"),
+    ).select("item_id", "dhash", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.item_id") < F.col("b.item_id")))
+        .select(
+            F.col("a.item_id").alias("item_a"),
+            F.col("b.item_id").alias("item_b"),
+            F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+             .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 10)
+    )
