@@ -69,6 +69,10 @@ HEADLINE = [
     "q_tpch_q9",            # TPC-H wave-3 representative (profit rollup)
     "q_evt_rfm",            # analytics wave-2 (per-user aggregate + ntiles)
     "q_sql_lateral",        # SQL-text LATERAL top-k-per-group
+    "q_join_bloom_prune",   # broadcast Bloom bitset prune + exact verify
+    "q_win_rolling_median", # order-statistic frame (collect_list middle)
+    "q_llm_mmr",            # MMR diversity re-rank over ANN candidates
+    "q_mm_phash_neardup",   # dHash banding — image near-dup twin of simhash
     "q_ts_interpolate",     # calendar-spine linear interpolation
     "q_graph_degree",       # near-dup graph degree (pair pipeline + explode)
     "q_dq_checks",          # data-quality constraint report
