@@ -162,3 +162,104 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 10)
     )
+
+
+@register(
+    "q_llm_domain_kl",
+    oracle="""
+    WITH lt AS (
+      SELECT lang, term, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY lang, term
+    ),
+    l AS (SELECT lang, SUM(c) AS lc FROM lt GROUP BY lang),
+    g AS (SELECT term, SUM(c) AS gc FROM lt GROUP BY term),
+    n AS (SELECT SUM(c) AS total FROM lt)
+    SELECT lt.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(SUM((lt.c / l.lc)
+                     * ln((lt.c / l.lc) / (g.gc / n.total))), 6)
+             AS kl_vs_corpus
+    FROM lt JOIN l USING (lang) JOIN g USING (term) CROSS JOIN n
+    GROUP BY lt.lang
+    """,
+)
+def q_llm_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health divergence: KL(P_lang || P_corpus) of unigram
+    distributions per language subcorpus — the standard 'which domain
+    drifts from the global token mix' check run before fixing a
+    training data mixture. Support of each subcorpus is a subset of
+    the global support by construction, so ln never sees 0.
+
+    Scale: all hash aggregates on (lang, term); the per-lang and
+    global-total sides are vocab/constant-sized and broadcast — the
+    corpus shuffles once to build term counts, nothing else grows."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokens
+
+    lt = (
+        d.select("lang", F.explode(tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    l = lt.groupBy("lang").agg(F.sum("c").alias("lc"))
+    g = lt.groupBy("term").agg(F.sum("c").alias("gc"))
+    n = lt.agg(F.sum("c").alias("total"))
+    return (
+        lt.join(F.broadcast(l), "lang")
+        .join(g, "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(
+                F.sum((F.col("c") / F.col("lc"))
+                      * F.log((F.col("c") / F.col("lc"))
+                              / (F.col("gc") / F.col("total")))),
+                6,
+            ).alias("kl_vs_corpus"),
+        )
+    )
+
+
+@register(
+    "q_agg_mad",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           ROUND(MIN(m.med), 6) AS med_price,
+           ROUND(quantile_cont(abs(o.o_totalprice - m.med), 0.5), 6)
+             AS mad_price
+    FROM orders o JOIN m USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust two-pass
+    order statistic (median, then median of |x − median|) that plain
+    stddev queries can't stand in for on heavy-tailed columns. Exact
+    ``percentile`` matches quantile_cont's linear interpolation
+    bit-for-bit.
+
+    Scale: two grouped aggregations + a broadcast of the group-count-
+    sized median table; exact percentile sorts within groups — at
+    100 TB swap ``percentile`` for ``approx_percentile`` (same plan
+    shape, sketch-mergeable) and keep the two-pass structure."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.min("med"), 6).alias("med_price"),
+            F.round(
+                F.expr("percentile(abs(o_totalprice - med), 0.5)"), 6
+            ).alias("mad_price"),
+        )
+    )
