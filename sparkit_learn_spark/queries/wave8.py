@@ -263,3 +263,56 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_price"),
         )
     )
+
+
+@register(
+    "q_win_rolling_corr",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(CASE WHEN isnan(corr(o_totalprice, o_custkey % 97) OVER w)
+                      THEN NULL
+                      ELSE corr(o_totalprice, o_custkey % 97) OVER w END, 6)
+             + 0.0 AS roll_corr,
+           ROUND(covar_samp(o_totalprice, o_custkey % 97) OVER w, 6)
+             + 0.0 AS roll_covar
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling correlation/covariance over a 12-row frame — the
+    co-movement window statistic (price vs a synthetic hash-derived
+    series) that pairs with q_win_rolling_median's order statistic.
+    Unlike median, covar/stddev accept frames natively, so this stays
+    one codegen'd window pass. corr is assembled as
+    covar/(stddev·stddev) rather than ``F.corr`` because Spark's ANSI
+    corr raises DIVIDE_BY_ZERO on a zero-variance frame (n>1, all
+    values equal) where the contract wants NULL; degenerate frames
+    (n=1 → NaN stddev, or zero variance) normalize to NULL on both
+    sides.
+
+    Scale: constant per-row state (Welford moments over the frame);
+    one shuffle on the partition key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-11, Window.currentRow)
+    )
+    x2 = F.col("o_custkey") % 97
+    sx = F.stddev_samp("o_totalprice").over(w)
+    sy = F.stddev_samp(x2).over(w)
+    cov = F.covar_samp(F.col("o_totalprice"), x2).over(w)
+    corr = F.when(
+        sx.isNull() | sy.isNull() | F.isnan(sx) | F.isnan(sy)
+        | (sx == 0) | (sy == 0),
+        F.lit(None).cast("double"),
+    ).otherwise(cov / (sx * sy))
+    return o.select(
+        "o_orderkey",
+        F.round(corr, 6).alias("roll_corr"),
+        F.round(F.covar_samp("o_totalprice", x2).over(w), 6)
+         .alias("roll_covar"),
+    )
