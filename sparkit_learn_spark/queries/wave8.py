@@ -316,3 +316,35 @@ def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("o_totalprice", x2).over(w), 6)
          .alias("roll_covar"),
     )
+
+
+@register("q_llm_bpe_segment")  # rows-only: merges come from the iterative
+                                # trainer (not SQL-expressible); encode
+                                # round-trip asserted in tests/test_bpe.py
+def q_llm_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer pipeline: learn the first 8 BPE merges
+    from the corpus (q_llm_bpe_learn's trainer), ENCODE the whole
+    corpus with them (operators/bpe.py bpe_segment_batched — Arrow
+    batches with per-unique-word memoization), and report the top-40
+    BPE token frequencies — train-tokenizer → apply → vocab-stats,
+    the full loop a data pipeline runs before budgeting tokens.
+
+    Scale: the merge table is 8 driver rows (bounded by construction);
+    encode is shuffle-free mapInPandas whose cost tracks per-batch
+    vocabulary (Zipf makes the word cache hit almost always); the
+    histogram is one vocab-sized hash aggregate. Deterministic: trainer tiebreaks
+    lexicographically, output orders by (freq desc, token)."""
+    from ..operators.bpe import bpe_segment_batched, learn_bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    merge_rows = learn_bpe_merges(d, n_merges=8).collect()  # 8 rows
+    merges = [(r["left"], r["right"])
+              for r in sorted(merge_rows, key=lambda r: r["rank"])]
+    seg = bpe_segment_batched(d, merges)
+    return (
+        seg.select(F.explode("bpe_tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(40)
+    )

@@ -74,3 +74,50 @@ def test_bpe_segment_round_trip(spark):
     assert any(len(t) > 1 for t in learned)
     flat = [t for toks in seg.values() for t in toks]
     assert any(t in flat for t in learned)
+
+
+def test_bpe_segment_reconstructs_corpus(spark, sf_dir):
+    """ENCODE is lossless: per doc, concatenating bpe_tokens and
+    dropping end markers reproduces the original text's characters
+    (whitespace removed) — merges only group symbols, never drop."""
+    from sparkit_learn_spark.catalog import load_table
+    from sparkit_learn_spark.operators.bpe import (END_MARKER, bpe_segment,
+                                                   learn_bpe_merges)
+
+    d = load_table(spark, sf_dir, "documents").limit(30)
+    merges = [(r["left"], r["right"])
+              for r in learn_bpe_merges(d, n_merges=6).collect()]
+    assert len(merges) > 0
+    seg = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_segment(d, merges).collect()}
+    for r in d.select("doc_id", "text").collect():
+        joined = "".join(seg[r["doc_id"]]).replace(END_MARKER, "")
+        assert joined == r["text"].replace(" ", ""), r["doc_id"]
+
+
+def test_bpe_segment_query_deterministic(spark, sf_dir):
+    from sparkit_learn_spark.registry import all_queries
+
+    q = all_queries()["q_llm_bpe_segment"]
+    a = q(spark, sf_dir).toPandas()
+    b = q(spark, sf_dir).toPandas()
+    assert len(a) > 0 and a.equals(b)
+    assert (a["freq"].to_numpy()[:-1] >= a["freq"].to_numpy()[1:]).all()
+
+
+def test_bpe_segment_batched_parity(spark, sf_dir):
+    """The Arrow-batched encoder produces EXACTLY the JVM fold's
+    output on the same merges (the two paths must be swappable)."""
+    from sparkit_learn_spark.catalog import load_table
+    from sparkit_learn_spark.operators.bpe import (bpe_segment,
+                                                   bpe_segment_batched,
+                                                   learn_bpe_merges)
+
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    merges = [(r["left"], r["right"])
+              for r in learn_bpe_merges(d, n_merges=6).collect()]
+    a = {r["doc_id"]: list(r["bpe_tokens"])
+         for r in bpe_segment(d, merges).collect()}
+    b = {r["doc_id"]: list(r["bpe_tokens"])
+         for r in bpe_segment_batched(d, merges).collect()}
+    assert a == b
