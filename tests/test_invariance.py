@@ -13,7 +13,9 @@ from sparkit_learn_spark.registry import all_queries
 from sparkit_learn_spark.testing import normalize
 
 # one representative per execution shape: agg, shuffle join, window,
-# salted join, set-op, sampling, cumulative-distinct, id assignment
+# salted join, set-op, sampling, cumulative-distinct, id assignment,
+# plus the closing-wave shapes: bitset build (bounded collect_list
+# aggregation), frame-bounded collect_list, banded hash self-join
 REPRESENTATIVES = [
     "q_agg_q1",
     "q_join_shuffle",
@@ -23,6 +25,9 @@ REPRESENTATIVES = [
     "q_llm_reservoir_sample",
     "q_win_cume_distinct",
     "q_ids_stable",
+    "q_join_bloom_prune",
+    "q_win_rolling_median",
+    "q_mm_phash_neardup",
 ]
 
 
