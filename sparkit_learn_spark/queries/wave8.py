@@ -348,3 +348,39 @@ def q_llm_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "tok")
         .limit(40)
     )
+
+
+@register(
+    "q_str_regexp_battery",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, 'th[a-z]+')) ) AS BIGINT)
+             AS n_th_words,
+           CAST(SUM(CASE WHEN regexp_matches(text, '[a-z]{9,}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_long_word_docs,
+           CAST(SUM(length(regexp_replace(text, '[aeiou]', '', 'g')))
+             AS BIGINT) AS consonant_chars,
+           MIN(regexp_extract(text, '([a-z]{7,})', 1)) AS min_long_word
+    FROM documents GROUP BY lang
+    """,
+)
+def q_str_regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function battery over the corpus: regexp_count,
+    rlike-as-predicate, global regexp_replace (Spark replaces all
+    matches; the oracle needs DuckDB's 'g' flag to agree), and group
+    extraction — all JVM-side codegen, patterns restricted to the
+    syntax subset where Java regex and RE2 agree (character classes +
+    bounded repetition; no backrefs, no lookaround).
+
+    Scale: row-local expressions — scale-free."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(F.regexp_count("text", F.lit("th[a-z]+")))
+         .cast("long").alias("n_th_words"),
+        F.sum(F.when(F.col("text").rlike("[a-z]{9,}"), 1).otherwise(0))
+         .cast("long").alias("n_long_word_docs"),
+        F.sum(F.length(F.regexp_replace("text", "[aeiou]", "")))
+         .cast("long").alias("consonant_chars"),
+        F.min(F.regexp_extract("text", "([a-z]{7,})", 1))
+         .alias("min_long_word"),
+    )
