@@ -384,3 +384,59 @@ def q_str_regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.regexp_extract("text", "([a-z]{7,})", 1))
          .alias("min_long_word"),
     )
+
+
+@register(
+    "q_ts_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY CAST(date_trunc('day', ts) AS DATE),
+                                             event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY CAST(date_trunc('day', ts) AS DATE),
+                                             event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT day, event_type,
+           ROUND(MIN(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MIN(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM r GROUP BY day, event_type
+    """,
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the canonical time-series bar aggregation
+    (open/high/low/close per day per series). Open/close need a
+    POSITIONAL first/last under a total order; expressed as
+    row_number in both directions with (ts, event_id) tiebreaks so
+    the result is deterministic under any partitioning (min_by/max_by
+    alone would be ambiguous on equal timestamps).
+
+    Scale: one shuffle on (day, series) for the windows, reused by
+    the aggregate — day-bounded partitions stay small at any corpus
+    size."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts")).alias("day")
+    base = ev.select(day, "event_type", "value", "ts", "event_id")
+    wa = (Window.partitionBy("day", "event_type")
+          .orderBy("ts", "event_id"))
+    wd = (Window.partitionBy("day", "event_type")
+          .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    r = base.select(
+        "day", "event_type", "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("day", "event_type").agg(
+        F.round(F.min(F.when(F.col("rn_a") == 1, F.col("value"))), 6)
+         .alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.min(F.when(F.col("rn_d") == 1, F.col("value"))), 6)
+         .alias("close"),
+        F.count("*").alias("n_ticks"),
+    )
