@@ -440,3 +440,43 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("close"),
         F.count("*").alias("n_ticks"),
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT event_id, user_id, ts AS click_ts, next_purchase_ts
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             first_value(CASE WHEN event_type = 'purchase' THEN ts END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_ts
+      FROM events
+    ) WHERE event_type = 'click'
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each click, the user's next strictly-
+    later purchase (the time-to-convert lookup) — q_join_asof's
+    mirror, with first(ignoreNulls) over the FOLLOWING frame instead
+    of last() over PRECEDING. Same union-style plan: no pairwise
+    click×purchase candidate explosion, one shuffle on user_id,
+    linear state.
+
+    Scale: identical to q_join_asof — survives 100×."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return (
+        ev.withColumn("next_purchase_ts",
+                      F.first(purchase_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", F.col("ts").alias("click_ts"),
+                "next_purchase_ts")
+    )
