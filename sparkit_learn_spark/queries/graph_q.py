@@ -163,3 +163,53 @@ SELECT CAST(l.comp AS BIGINT) AS comp,
        CAST(l.n_chars AS BIGINT) AS keep_len
 FROM labeled l JOIN sizes s USING (comp) WHERE l.rn = 1
 """)
+
+
+@register("q_graph_triangles")
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation in the near-dup graph —
+    the clustering-coefficient numerator: a document in many triangles
+    sits inside a dense duplicate CLIQUE (template boilerplate), not
+    just a chain of pairwise matches; degree alone can't tell the two
+    apart. Edges are canonically oriented (doc_a < doc_b), so each
+    triangle x<y<z is enumerated exactly once by the two-hop join
+    e(x,y) ⋈ e(y,z) ⋈ e(x,z).
+
+    Scale: the standard edge-edge triangle join (shuffles edge-grain,
+    never all-pairs); the edge list is checkpointed ONCE so the
+    expensive pair-verify lineage doesn't execute per join leg. At
+    true scale, orient edges by (degree, id) instead of raw id — the
+    same plan with skew moved off high-degree hubs."""
+    pairs = q_llm_ngram_jaccard(spark, sf_dir)
+    e = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+         .localCheckpoint(eager=True))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a"))
+              & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"))
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+set_oracle("q_graph_triangles", f"""
+WITH pairs AS ({ORACLES["q_llm_ngram_jaccard"]}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT x AS doc_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY doc_id
+""")
