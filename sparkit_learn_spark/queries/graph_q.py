@@ -213,3 +213,73 @@ FROM (SELECT x AS doc_id FROM tri
       UNION ALL SELECT z FROM tri)
 GROUP BY doc_id
 """)
+
+
+@register("q_graph_clustering_coeff")
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient 2T/(d(d-1)) per document (d >= 2):
+    1.0 means the doc's near-dup neighborhood is a closed clique (one
+    template, safe to keep a single canonical copy); near 0 means
+    chained pairwise matches (transitive false positives — exactly
+    where aggressive dedup destroys distinct documents). Degree and
+    triangle counts both derive from ONE checkpointed edge list, so
+    the pair-verify lineage runs once.
+
+    Scale: edge-grain joins + node-grain aggregates, same envelope as
+    q_graph_triangles."""
+    pairs = q_llm_ngram_jaccard(spark, sf_dir)
+    e = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+         .localCheckpoint(eager=True))
+    deg = (e.select(F.explode(F.array("a", "b")).alias("doc_id"))
+           .groupBy("doc_id").agg(F.count("*").alias("degree")))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a"))
+              & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"))
+        .select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
+        .groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.round(
+                2.0 * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+set_oracle("q_graph_clustering_coeff", f"""
+WITH pairs AS ({ORACLES["q_llm_ngram_jaccard"]}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e)
+  GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, COUNT(*) AS n_tri FROM (
+    SELECT e1.a AS doc_id FROM e e1 JOIN e e2 ON e1.b = e2.a
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    UNION ALL
+    SELECT e1.b FROM e e1 JOIN e e2 ON e1.b = e2.a
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    UNION ALL
+    SELECT e2.b FROM e e1 JOIN e e2 ON e1.b = e2.a
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+  ) GROUP BY doc_id
+)
+SELECT deg.doc_id, deg.degree,
+       ROUND(2.0 * COALESCE(tri.n_tri, 0)
+             / (deg.degree * (deg.degree - 1)), 6) AS clustering_coeff
+FROM deg LEFT JOIN tri ON deg.doc_id = tri.doc_id
+WHERE deg.degree >= 2
+""")
