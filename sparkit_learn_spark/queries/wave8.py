@@ -480,3 +480,46 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.col("ts").alias("click_ts"),
                 "next_purchase_ts")
     )
+
+
+@register(
+    "q_evt_rolling_active",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+            FROM ud GROUP BY day),
+    wau AS (SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+            FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day)
+    SELECT dau.day, dau.dau, wau.wau
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def q_evt_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + rolling 7-day WAU — the windowed-DISTINCT problem:
+    distinct counts don't sum across days, so a rolling frame over
+    daily DAUs is WRONG. Exact form: shrink events to distinct
+    (day, user) pairs FIRST (users x days grain, tiny vs the event
+    log), then a bounded 7-day range join against the day spine.
+
+    Scale: the event log is touched once (the distinct); the range
+    join fans each (day, user) pair out at most 7x at users x days
+    grain. At 100 TB, swap the exact distinct for hll_sketch_agg per
+    day + hll_union_agg over the trailing frame — same shape, sketch-
+    mergeable, constant state."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (
+        days.join(
+            ud.select(F.col("day").alias("uday"), "user_id"),
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day")
