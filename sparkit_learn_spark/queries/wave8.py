@@ -523,3 +523,33 @@ def q_evt_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau"))
     )
     return dau.join(wau, "day")
+
+
+@register("q_llm_countmin_freq")  # rows-only: xxhash64 grid — CMS guarantees
+                                  # (never-under, bounded over) in pytest
+def q_llm_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (operators/sketches.py):
+    build a 4x1024 counter grid over the token stream in one pass,
+    then probe it for the 50 exact heavy hitters — returned beside
+    their true counts so the estimate error is visible in the result
+    (cms_est >= true_cnt always; overestimate bounded by eps*N).
+
+    Scale: the sketch is 4096 rows whatever the vocabulary — the
+    sublinear-space twin of exact q_llm_heavy_hitters, and the only
+    of the two that survives a vocabulary that doesn't fit a shuffle."""
+    from ..functions.text import tokens
+    from ..operators.sketches import cms_build, cms_probe
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("term"))
+    sketch = cms_build(toks, "term")
+    top = (
+        toks.groupBy("term").agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "term").limit(50)
+    )
+    return (
+        cms_probe(sketch, top.select("term"), "term")
+        .join(top, "term")
+        .select("term", "true_cnt", "cms_est")
+        .orderBy(F.desc("true_cnt"), "term")
+    )

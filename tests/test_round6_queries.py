@@ -199,3 +199,23 @@ def test_phash_neardup_recall_and_precision(spark, sf_dir):
     again = q(spark, sf_dir).toPandas()
     assert sorted(map(tuple, got.values.tolist())) == sorted(
         map(tuple, again.values.tolist()))
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """CMS guarantees on the real corpus: est >= true for every
+    probed term, overestimate bounded by (e/width)*N, deterministic
+    across runs."""
+    import math
+
+    q = all_queries()["q_llm_countmin_freq"]
+    got = q(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    assert (got["cms_est"] >= got["true_cnt"]).all()
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).collect()[0]["n"]
+    eps = math.e / 1024
+    assert ((got["cms_est"] - got["true_cnt"]) <= eps * n_tokens).all()
+    again = q(spark, sf_dir).toPandas()
+    assert got.equals(again)
