@@ -553,3 +553,58 @@ def q_llm_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "true_cnt", "cms_est")
         .orderBy(F.desc("true_cnt"), "term")
     )
+
+
+@register(
+    "q_ts_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             SUM(value) AS rev
+      FROM events GROUP BY day, event_type
+    ),
+    r AS (
+      SELECT day, event_type, rev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               - 1 AS rn
+      FROM daily
+    )
+    SELECT day, event_type,
+           ROUND(0.3 * pow(0.7, rn)
+                 * SUM(rev * pow(1.0 / 0.7, rn))
+                   OVER (PARTITION BY event_type ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW), 6) AS ewma_rev
+    FROM r
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue per
+    event type (alpha = 0.3, zero-init: s_t = a*sum (1-a)^(t-k) x_k) —
+    a RECURSIVE statistic computed in ONE window pass via the
+    closed-form u_k = x_k*(1-a)^(-k) prefix-sum trick (no iterative
+    self-join, no UDF). The geometric reweighting overflows doubles
+    past ~700 rows per partition; day-grain partitions stay far under
+    that — at longer horizons, chunk per month and carry the boundary
+    (same trick, segmented).
+
+    Scale: day-grain after the first aggregate; one window shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    a = 0.3
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.sum("value").alias("rev"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    r = daily.withColumn("rn", F.row_number().over(wo) - 1)
+    ws = (Window.partitionBy("event_type").orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return r.select(
+        "day", "event_type",
+        F.round(
+            F.lit(a) * F.pow(F.lit(1 - a), F.col("rn"))
+            * F.sum(F.col("rev") * F.pow(F.lit(1.0 / (1 - a)), F.col("rn")))
+               .over(ws),
+            6,
+        ).alias("ewma_rev"),
+    )

@@ -219,3 +219,23 @@ def test_countmin_never_underestimates(spark, sf_dir):
     assert ((got["cms_est"] - got["true_cnt"]) <= eps * n_tokens).all()
     again = q(spark, sf_dir).toPandas()
     assert got.equals(again)
+
+
+def test_ewma_matches_recursive_loop(spark, sf_dir):
+    """The closed-form window EWMA equals the literal recursion
+    s = a*x + (1-a)*s (zero-init) replayed in Python per series."""
+    got = all_queries()["q_ts_ewma"](spark, sf_dir).toPandas()
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.sum("value").alias("rev"))
+        .orderBy("event_type", "day").toPandas()
+    )
+    a = 0.3
+    for et, g in daily.groupby("event_type"):
+        s = 0.0
+        for _, row in g.sort_values("day").iterrows():
+            s = a * row["rev"] + (1 - a) * s
+            mine = got[(got["event_type"] == et)
+                       & (got["day"] == row["day"])]["ewma_rev"].iloc[0]
+            assert abs(mine - round(s, 6)) < 1e-6, (et, row["day"], mine, s)
