@@ -608,3 +608,96 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma_rev"),
     )
+
+
+@register(
+    "q_agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id % 10 AS cohort, event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY cohort, event_type
+    ),
+    t AS (SELECT cohort, SUM(n) AS tot FROM c GROUP BY cohort)
+    SELECT c.cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(-SUM((c.n / t.tot) * ln(c.n / t.tot)), 6) AS entropy
+    FROM c JOIN t USING (cohort)
+    GROUP BY c.cohort
+    """,
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type distribution per user cohort
+    — the behavioral-diversity statistic (0 = single-action users,
+    ln(k) = uniform across k actions). Two hash aggregates + a
+    broadcast of the cohort totals; p*ln(p) never sees 0 because
+    empty cells don't exist in a GROUP BY.
+
+    Scale: cohort x type grain after the first aggregate — tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"), "event_type")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    t = c.groupBy("cohort").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(F.broadcast(t), "cohort")
+        .groupBy("cohort")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
+
+
+@register("q_ml_roc_auc")  # rows-only: scores come from the LBFGS fit
+                           # (engine-specific); rank-sum parity vs a
+                           # numpy reference in pytest
+def q_ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the embeddings logistic model, distributed:
+    the Mann-Whitney rank-sum identity AUC = (R+ - P(P+1)/2)/(P*N)
+    with average ranks for ties — no threshold sweep, no curve
+    materialization, no driver-side sort. Scores are binned to 6dp
+    BEFORE ranking so the rank table is bounded at 1e6+1 rows at any
+    corpus size (the bin changes AUC by <1e-5; the pytest reference
+    applies the same bin, so parity is exact).
+
+    Scale: one aggregate to score-grain, one bounded window for
+    cumulative ranks, one scalar reduce."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import vector_to_array
+
+    from .ml_mllib import _vectors
+
+    vec = _vectors(spark, sf_dir)
+    model = LogisticRegression(
+        featuresCol="features", labelCol="binlabel", maxIter=50,
+        regParam=0.01,
+    ).fit(vec)
+    scored = model.transform(vec).select(
+        F.col("binlabel").alias("y"),
+        F.round(F.element_at(vector_to_array("probability"), 2), 6)
+         .alias("p"),
+    )
+    g = scored.groupBy("p").agg(
+        F.count("*").cast("double").alias("cnt"),
+        F.sum("y").alias("pos"),
+    )
+    w = (Window.orderBy("p")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = g.withColumn(
+        "avg_rank",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0.0))
+        + (F.col("cnt") + 1) / 2,
+    )
+    return ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
+        F.round(
+            (F.sum(F.col("pos") * F.col("avg_rank"))
+             - F.sum("pos") * (F.sum("pos") + 1) / 2)
+            / (F.sum("pos") * F.sum(F.col("cnt") - F.col("pos"))),
+            6,
+        ).alias("auc"),
+    )

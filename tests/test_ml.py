@@ -537,3 +537,38 @@ def test_mmr_rerank_matches_numpy_greedy(spark, sf_dir):
         got[got["qid"] == q].sort_values("mmr_rank")["nid"].astype(int).tolist()
         != plain[q] for q in plain
     )
+
+
+def test_roc_auc_matches_numpy_ranksum(spark, sf_dir):
+    """The distributed rank-sum AUC equals a numpy Mann-Whitney
+    reference (average ranks, same 6dp score binning) on the same
+    model scores."""
+    import numpy as np
+
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+    from sparkit_learn_spark.queries.ml_mllib import _vectors
+    from sparkit_learn_spark.registry import all_queries
+
+    got = all_queries()["q_ml_roc_auc"](spark, sf_dir).toPandas().iloc[0]
+
+    vec = _vectors(spark, sf_dir)
+    model = LogisticRegression(featuresCol="features", labelCol="binlabel",
+                               maxIter=50, regParam=0.01).fit(vec)
+    pdf = model.transform(vec).select(
+        F.col("binlabel").alias("y"),
+        F.round(F.element_at(vector_to_array("probability"), 2), 6).alias("p"),
+    ).toPandas()
+    y = pdf["y"].to_numpy(float)
+    p = pdf["p"].to_numpy(float)
+    uniq, inv, cnt = np.unique(p, return_inverse=True, return_counts=True)
+    pos = np.zeros(len(uniq))
+    np.add.at(pos, inv, y)
+    cum_before = np.concatenate(([0.0], np.cumsum(cnt)[:-1]))
+    avg_rank = cum_before + (cnt + 1) / 2
+    P, N = y.sum(), (1 - y).sum()
+    auc = (float((pos * avg_rank).sum()) - P * (P + 1) / 2) / (P * N)
+    assert got["n_pos"] == int(P) and got["n_neg"] == int(N)
+    assert abs(got["auc"] - round(auc, 6)) < 1e-6
+    assert 0.5 < got["auc"] <= 1.0  # the model must actually separate
