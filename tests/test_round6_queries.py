@@ -239,3 +239,16 @@ def test_ewma_matches_recursive_loop(spark, sf_dir):
             mine = got[(got["event_type"] == et)
                        & (got["day"] == row["day"])]["ewma_rev"].iloc[0]
             assert abs(mine - round(s, 6)) < 1e-6, (et, row["day"], mine, s)
+
+
+def test_rolling_active_hll_tracks_exact(spark, sf_dir):
+    """Sketch path within 5% of the exact windowed-distinct twin on
+    every day, both DAU and WAU."""
+    exact = (all_queries()["q_evt_rolling_active"](spark, sf_dir)
+             .toPandas().set_index("day"))
+    est = (all_queries()["q_evt_rolling_active_hll"](spark, sf_dir)
+           .toPandas().set_index("day"))
+    assert set(exact.index) == set(est.index)
+    for day, row in exact.iterrows():
+        assert abs(est.loc[day, "dau_est"] - row["dau"]) <= max(1, 0.05 * row["dau"])
+        assert abs(est.loc[day, "wau_est"] - row["wau"]) <= max(1, 0.05 * row["wau"])
