@@ -73,6 +73,10 @@ HEADLINE = [
     "q_win_rolling_median", # order-statistic frame (collect_list middle)
     "q_llm_mmr",            # MMR diversity re-rank over ANN candidates
     "q_mm_phash_neardup",   # dHash banding — image near-dup twin of simhash
+    "q_graph_triangles",    # edge-edge triangle join over near-dup graph
+    "q_evt_rolling_active", # windowed-distinct via bounded range join
+    "q_llm_countmin_freq",  # Count-Min sketch build + probe
+    "q_ml_roc_auc",         # distributed rank-sum AUC (fit + rank)
     "q_ts_interpolate",     # calendar-spine linear interpolation
     "q_graph_degree",       # near-dup graph degree (pair pipeline + explode)
     "q_dq_checks",          # data-quality constraint report
