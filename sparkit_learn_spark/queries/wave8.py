@@ -729,3 +729,41 @@ def q_evt_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
          .alias("wau_est"),
     ).orderBy("day")
+
+
+@register("q_llm_dedup_recall")  # rows-only: minhash side is xxhash-based;
+                                 # range/determinism asserted in pytest
+def q_llm_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation: banded-MinHash emitted pairs scored
+    against the exact inverted-index Jaccard truth at the same
+    similarity cut (>= 0.4) — the recall measurement a pipeline owner
+    runs BEFORE trusting approximate dedup on 100 TB, where the exact
+    truth can only be afforded on a sample. Precision can dip below
+    1.0 only where the truth's documented viral-shingle df-cap drops
+    a pair the sketch kept.
+
+    Scale: both sides are the candidates-then-verify pipelines
+    (never all-pairs); the join is pair-grain."""
+    from ..operators.dedup import minhash_banded_pairs
+    from .llm_pipeline2 import q_llm_ngram_jaccard
+
+    truth = (
+        q_llm_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b")
+    )
+    got = (
+        minhash_banded_pairs(load_table(spark, sf_dir, "documents"))
+        .select("doc_a", "doc_b")
+    )
+    hit = truth.join(got, ["doc_a", "doc_b"], "inner")
+    stats = truth.agg(F.count("*").alias("n_true")).crossJoin(
+        got.agg(F.count("*").alias("n_got"))
+    ).crossJoin(hit.agg(F.count("*").alias("n_hit")))
+    return stats.select(
+        "n_true", "n_got", "n_hit",
+        F.when(F.col("n_true") > 0,
+               F.round(F.col("n_hit") / F.col("n_true"), 6)).alias("recall"),
+        F.when(F.col("n_got") > 0,
+               F.round(F.col("n_hit") / F.col("n_got"), 6)).alias("precision"),
+    )

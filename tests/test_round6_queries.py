@@ -252,3 +252,15 @@ def test_rolling_active_hll_tracks_exact(spark, sf_dir):
     for day, row in exact.iterrows():
         assert abs(est.loc[day, "dau_est"] - row["dau"]) <= max(1, 0.05 * row["dau"])
         assert abs(est.loc[day, "wau_est"] - row["wau"]) <= max(1, 0.05 * row["wau"])
+
+
+def test_dedup_recall_eval_sane(spark, sf_dir):
+    """Recall/precision stats are well-formed and deterministic;
+    hits can never exceed either side."""
+    q = all_queries()["q_llm_dedup_recall"]
+    got = q(spark, sf_dir).toPandas().iloc[0]
+    assert got["n_hit"] <= got["n_true"] and got["n_hit"] <= got["n_got"]
+    assert 0.0 <= got["recall"] <= 1.0 and 0.0 <= got["precision"] <= 1.0
+    assert got["recall"] >= 0.8  # banding at s>=0.4 collides w/ p~0.94
+    again = q(spark, sf_dir).toPandas().iloc[0]
+    assert got.equals(again)
