@@ -767,3 +767,86 @@ def q_llm_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_got") > 0,
                F.round(F.col("n_hit") / F.col("n_got"), 6)).alias("precision"),
     )
+
+
+@register("q_llm_ann_recall")  # rows-only: IVF side is sampled-quantizer
+                               # based; bounds asserted in pytest
+def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: IVF top-5 neighbors scored against the
+    exact cosine top-5 truth — recall@5 averaged over all queries,
+    plus the fraction of queries with perfect recall. The ANN twin of
+    q_llm_dedup_recall: at 100 TB the exact truth runs on a sample
+    and this number decides whether the IVF probe budget is enough.
+
+    Scale: both sides are existing bounded pipelines; the comparison
+    joins at (query, neighbor) grain."""
+    from ..operators.similarity import cosine_topk, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(e, k=5).select("qid", "nid")
+    approx = ivf_topk(e, k=5).select("qid", "nid")
+    hit = exact.join(approx, ["qid", "nid"], "inner")
+    per_q = (
+        exact.groupBy("qid").agg(F.count("*").alias("n_true"))
+        .join(hit.groupBy("qid").agg(F.count("*").alias("n_hit")), "qid",
+              "left")
+        .select("qid", "n_true",
+                F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg(F.col("n_hit") / F.col("n_true")), 6)
+         .alias("recall_at_5"),
+        F.round(F.avg((F.col("n_hit") == F.col("n_true")).cast("double")), 6)
+         .alias("frac_perfect"),
+    )
+
+
+@register(
+    "q_agg_gini",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rk,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n,
+             SUM(c_acctbal) OVER (PARTITION BY c_mktsegment) AS tot
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(MIN(n) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(rk * c_acctbal) / (MIN(n) * MIN(tot))
+                 - (MIN(n) + 1.0) / MIN(n), 6) AS gini
+    FROM r GROUP BY c_mktsegment
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of account-balance concentration per market
+    segment — the inequality statistic (0 = uniform, ->1 = one
+    customer holds everything) via the rank identity
+    G = 2*sum(rank*x)/(n*sum(x)) - (n+1)/n, which needs ONE window
+    pass instead of the textbook O(n^2) |x_i - x_j| double sum.
+    Deterministic: ranks totally ordered by (value, custkey);
+    positive balances only so the denominator is well-defined.
+
+    Scale: one window shuffle on the segment key."""
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_acctbal") > 0))
+    wr = (Window.partitionBy("c_mktsegment")
+          .orderBy("c_acctbal", "c_custkey"))
+    wp = Window.partitionBy("c_mktsegment")
+    r = c.select(
+        "c_mktsegment", "c_acctbal",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("c_acctbal").over(wp).alias("tot"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.min("n").cast("long").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("rk") * F.col("c_acctbal"))
+            / (F.min("n") * F.min("tot"))
+            - (F.min("n") + 1.0) / F.min("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -264,3 +264,13 @@ def test_dedup_recall_eval_sane(spark, sf_dir):
     assert got["recall"] >= 0.8  # banding at s>=0.4 collides w/ p~0.94
     again = q(spark, sf_dir).toPandas().iloc[0]
     assert got.equals(again)
+
+
+def test_ann_recall_eval_sane(spark, sf_dir):
+    q = all_queries()["q_llm_ann_recall"]
+    got = q(spark, sf_dir).toPandas().iloc[0]
+    assert got["n_queries"] > 0
+    assert 0.0 <= got["recall_at_5"] <= 1.0
+    assert 0.0 <= got["frac_perfect"] <= 1.0
+    assert got["recall_at_5"] >= 0.5  # probe budget must stay useful
+    assert q(spark, sf_dir).toPandas().iloc[0].equals(got)
