@@ -850,3 +850,62 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_evt_cohort_ltv",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    j AS (
+      SELECT f.cohort_week,
+             CAST(FLOOR(date_diff('day', f.cohort_week,
+                                  date_trunc('week', e.ts)) / 7.0)
+                  AS BIGINT) AS week_offset,
+             e.value
+      FROM events e JOIN f ON e.user_id = f.user_id
+    ),
+    wk AS (
+      SELECT cohort_week, week_offset, SUM(value) AS rev
+      FROM j GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset,
+           ROUND(SUM(rev) OVER (PARTITION BY cohort_week
+                                ORDER BY week_offset
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW), 6) AS cum_revenue
+    FROM wk
+    """,
+)
+def q_evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative revenue per weekly
+    signup cohort by weeks-since-signup — the payback statistic
+    q_evt_retention's distinct-count can't give (retention says WHO
+    came back; LTV says what they were worth). Same cohort spine
+    (Monday-start weeks), revenue summed per (cohort, offset) cell,
+    then one running-sum window over the offset axis.
+
+    Scale: identical envelope to q_evt_retention (two co-partitioned
+    user_id shuffles) + a cohort-grain window — cells, not events."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    j = e.join(f, "user_id").select(
+        "cohort_week",
+        F.floor(
+            F.datediff(F.date_trunc("week", F.col("ts")),
+                       F.col("cohort_week")) / 7.0
+        ).cast("long").alias("week_offset"),
+        "value",
+    )
+    wk = (j.groupBy("cohort_week", "week_offset")
+          .agg(F.sum("value").alias("rev")))
+    w = (Window.partitionBy("cohort_week").orderBy("week_offset")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return wk.select(
+        "cohort_week", "week_offset",
+        F.round(F.sum("rev").over(w), 6).alias("cum_revenue"),
+    )
