@@ -729,3 +729,60 @@ def mmr_rerank(emb: DataFrame, *, k: int = 5, fetch: int = 20,
         schema=("qid long, nid long, mmr_rank int, relevance double, "
                 "diversity_penalty double"),
     )
+
+
+def cosine_retrieve(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    max_broadcast_rows: int = DEFAULT_MAX_BROADCAST_ROWS) -> DataFrame:
+    """CROSS-TABLE exact retrieval: top-k cosine neighbors in
+    ``corpus`` for every vector in ``queries`` — the query!=corpus
+    shape actual retrieval has (benchmark-vs-train search, eval-set
+    neighbors), vs cosine_topk's self-join. Same determinism contract
+    (6dp rounding before ranking, id tiebreak); no self-exclusion —
+    if an id appears in both frames it is a legitimate hit.
+
+    Scale: the corpus broadcasts (bounded; raise past
+    ``max_broadcast_rows`` — use IVF routing for bigger corpora); the
+    query stream never shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    if corpus.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
+        raise ValueError(
+            f"corpus exceeds {max_broadcast_rows} rows — use ivf_topk-style "
+            "routing for broadcast-infeasible corpora")
+    cand = corpus.select(F.col(id_col).alias("nid"),
+                         F.col(vec_col).alias("vb")).collect()
+    nids = np.array([r["nid"] for r in cand], dtype=np.int64)
+    C = np.array([np.asarray(r["vb"], dtype=np.float64) for r in cand])
+    order = np.argsort(nids)
+    nids, C = nids[order], C[order]
+    spark = queries.sparkSession
+    b_nids = spark.sparkContext.broadcast(nids)
+    b_C = spark.sparkContext.broadcast(C)
+
+    def topk_batches(batches):
+        cn, cm = b_nids.value, b_C.value
+        n = len(cn)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            S = np.round(Q @ cm.T, 6)
+            rows = []
+            for qi, qid in enumerate(pdf["qid"].to_numpy()):
+                sims = S[qi]
+                if n <= k or n <= ARGSORT_CUTOVER:
+                    idx = np.arange(n)
+                else:
+                    kth = np.partition(sims, n - k)[n - k]
+                    idx = np.nonzero(sims >= kth)[0]
+                top = idx[np.argsort(-sims[idx], kind="stable")[:k]]
+                for rn, j in enumerate(top, start=1):
+                    rows.append((int(qid), int(cn[j]), float(sims[j]), rn))
+            yield pd.DataFrame(rows, columns=["qid", "nid", "sim", "rn"])
+
+    q = _spread(queries.select(F.col(id_col).alias("qid"),
+                               F.col(vec_col).alias("vb")))
+    return q.mapInPandas(topk_batches,
+                         schema="qid long, nid long, sim double, rn long")

@@ -909,3 +909,41 @@ def q_evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_week", "week_offset",
         F.round(F.sum("rev").over(w), 6).alias("cum_revenue"),
     )
+
+
+@register(
+    "q_llm_retrieval_topk",
+    oracle="""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id % 20 = 0),
+    c AS (SELECT * FROM embeddings WHERE vec_id % 20 <> 0),
+    pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             ROUND(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6)
+               AS sim
+      FROM q JOIN c ON TRUE
+    )
+    SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT qid, nid, sim,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, nid) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def q_llm_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table retrieval: top-5 corpus neighbors for a held-out
+    query set (every 20th vector) — the query!=corpus search shape
+    (eval-set nearest neighbors, benchmark-vs-train probes) that the
+    self-join cosine queries can't express. Exact, broadcast-corpus
+    path (operators/similarity.py cosine_retrieve).
+
+    Scale: query stream never shuffles; the corpus broadcast is
+    bounded with an explicit error pointing at IVF routing beyond
+    it."""
+    from ..operators.similarity import cosine_retrieve
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 20 == 0)
+    c = e.filter(F.col("vec_id") % 20 != 0)
+    return cosine_retrieve(q, c, k=5)
