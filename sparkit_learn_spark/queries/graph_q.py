@@ -283,3 +283,38 @@ SELECT deg.doc_id, deg.degree,
 FROM deg LEFT JOIN tri ON deg.doc_id = tri.doc_id
 WHERE deg.degree >= 2
 """)
+
+
+@register("q_graph_cluster_sizes")
+def q_graph_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: the cluster-size histogram of the near-dup
+    graph (how many duplicate clusters of each size, plus the docs
+    they absorb) — the number a pipeline owner quotes ('dedup removes
+    X% of the corpus in clusters of size >= s'). Composed from the
+    exactly-oracled connected components.
+
+    Scale: label-grain aggregates after CC — two tiny shuffles."""
+    comp = q_graph_components(spark, sf_dir)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            (F.count("*") * F.col("cluster_size")).cast("long")
+             .alias("docs_absorbed"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+set_oracle("q_graph_cluster_sizes", f"""
+WITH comp AS ({ORACLES["q_graph_components"]}),
+sizes AS (
+  SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY comp
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS docs_absorbed
+FROM sizes GROUP BY cluster_size
+""")
