@@ -334,3 +334,38 @@ def test_variant_no_python_eval(spark, sf_dir):
     """VARIANT parse + typed extraction stays entirely JVM-side."""
     plan = explain_str(Q["q_json_variant"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_median_single_window_no_python(spark, sf_dir):
+    """One Window node computes all three frame columns (collect_list,
+    avg share the identical spec); no Python eval anywhere."""
+    plan = explain_str(Q["q_win_rolling_median"](spark, sf_dir))
+    assert plan.count("Window") >= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the frame spec reaches the plan (ROWS BETWEEN 6 PRECEDING)
+    assert "-6" in plan or "6 PRECEDING" in plan.upper()
+
+
+def test_retrieval_query_side_never_shuffles(spark, sf_dir):
+    """Cross-table retrieval: the only exchange allowed on the query
+    stream is the documented round-robin spread — no hash/range
+    exchange (the corpus ships via broadcast variables, invisible to
+    the plan)."""
+    plan = explain_str(Q["q_llm_retrieval_topk"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_ewma_single_window_pass(spark, sf_dir):
+    plan = explain_str(Q["q_ts_ewma"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_gini_no_python_single_partition_free(spark, sf_dir):
+    """Gini: pure JVM windows + aggregate; must NOT degenerate into a
+    global single-partition window (every window spec carries the
+    segment partition key)."""
+    plan = explain_str(Q["q_agg_gini"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan
