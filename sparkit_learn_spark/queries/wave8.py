@@ -947,3 +947,71 @@ def q_llm_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 20 == 0)
     c = e.filter(F.col("vec_id") % 20 != 0)
     return cosine_retrieve(q, c, k=5)
+
+
+@register(
+    "q_llm_winnowing",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)],
+                                 ' ')) AS h
+      FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+      WHERE len(toks) >= 5
+    ),
+    wmin AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM sh
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wmin),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 100)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fp
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE a.fp IN (SELECT fp FROM rare)
+    GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    """,
+)
+def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS plagiarism-detection
+    algorithm): hash every 5-token shingle, slide a 4-shingle window
+    and keep each window's MINIMUM hash — guaranteeing any shared run
+    of >= w+k-1 tokens yields a shared fingerprint while storing only
+    ~2/(w+1) of the hashes. Docs sharing >= 5 selected fingerprints
+    are overlap candidates. md5 (not xxhash) precisely so the oracle
+    can replay the selection bit-for-bit; the df<=100 viral cap
+    mirrors the Jaccard pipeline's.
+
+    Scale: fingerprint selection is one window pass; the candidate
+    join runs on the winnowed ~2/(w+1) subset with a df cap — never
+    all-pairs, and cheaper-shuffled than full-shingle Jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import shingles, tokens
+
+    sh = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select("doc_id",
+                F.posexplode(shingles(F.col("toks"), k=5))
+                 .alias("pos", "shingle"))
+        .select("doc_id", "pos", F.md5("shingle").alias("h"))
+    )
+    w = (Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3))
+    fps = (sh.select("doc_id", F.min("h").over(w).alias("fp"))
+           .distinct())
+    rare = (fps.groupBy("fp").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= 100).select("fp"))
+    pruned = fps.join(rare, "fp")
+    a = pruned.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = pruned.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 5)
+    )
