@@ -1015,3 +1015,51 @@ def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_fp"))
         .filter(F.col("shared_fp") >= 5)
     )
+
+
+@register(
+    "q_dq_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS DOUBLE) AS n FROM d
+          GROUP BY digit),
+    t AS (SELECT SUM(n) AS tot FROM c)
+    SELECT c.digit,
+           CAST(c.n AS BIGINT) AS n,
+           ROUND(c.n / t.tot, 6) AS observed_p,
+           ROUND(log10(1.0 + 1.0 / c.digit), 6) AS benford_p,
+           ROUND(pow(c.n / t.tot - log10(1.0 + 1.0 / c.digit), 2)
+                 / log10(1.0 + 1.0 / c.digit), 6) AS chi2_term
+    FROM c CROSS JOIN t
+    """,
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    fabricated-data screen (naturally occurring amounts follow
+    P(d) = log10(1 + 1/d); synthetic or manipulated ones usually
+    don't). Emits observed vs expected frequency and the per-digit
+    chi-square contribution so the auditor sees WHICH digits deviate.
+    The fixture's uniform-ish synthetic prices will rightly flag —
+    that's the query doing its job on generated data.
+
+    Scale: digit-grain after one aggregate — scale-free."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+         .cast("bigint").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").cast("double").alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("tot"), 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(F.pow(F.col("n") / F.col("tot") - benford, 2) / benford, 6)
+         .alias("chi2_term"),
+    )
