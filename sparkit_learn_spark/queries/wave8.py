@@ -1063,3 +1063,33 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(F.col("n") / F.col("tot") - benford, 2) / benford, 6)
          .alias("chi2_term"),
     )
+
+
+@register("q_ml_kmeans_elbow")  # rows-only: iterative fits; monotonicity
+                                # asserted in pytest
+def q_ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection for clustering: k-means inertia (within-set
+    sum of squared distances) swept over k in {2, 4, 8} — the elbow
+    curve that picks k before the real clustering run. Seeded
+    k-means|| so the sweep is reproducible.
+
+    Scale: each fit is MLlib's distributed Lloyd's (per-iteration
+    broadcast of k centroids, map-side partial sums); the sweep is
+    3 sequential fits — parallelize across a cluster by submitting
+    per-k jobs from one driver if wall-clock matters."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.evaluation import ClusteringEvaluator
+
+    from .ml_mllib import SEED, _vectors
+
+    vec = _vectors(spark, sf_dir).cache()
+    rows = []
+    for k in (2, 4, 8):
+        model = KMeans(k=k, seed=SEED, featuresCol="features").fit(vec)
+        inertia = float(model.summary.trainingCost)
+        sil = float(ClusteringEvaluator(featuresCol="features")
+                    .evaluate(model.transform(vec)))
+        rows.append((k, round(inertia, 6), round(sil, 6)))
+    vec.unpersist()
+    return spark.createDataFrame(
+        rows, "k long, inertia double, silhouette double")

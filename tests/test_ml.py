@@ -572,3 +572,17 @@ def test_roc_auc_matches_numpy_ranksum(spark, sf_dir):
     assert got["n_pos"] == int(P) and got["n_neg"] == int(N)
     assert abs(got["auc"] - round(auc, 6)) < 1e-6
     assert 0.5 < got["auc"] <= 1.0  # the model must actually separate
+
+
+def test_kmeans_elbow_monotone_and_deterministic(spark, sf_dir):
+    """Inertia must strictly decrease with k (seeded fits), and the
+    sweep reproduces exactly."""
+    from sparkit_learn_spark.registry import all_queries
+
+    q = all_queries()["q_ml_kmeans_elbow"]
+    got = q(spark, sf_dir).toPandas().sort_values("k")
+    iner = got["inertia"].tolist()
+    assert iner == sorted(iner, reverse=True)
+    assert iner[0] > iner[-1]
+    assert (got["silhouette"].between(-1, 1)).all()
+    assert q(spark, sf_dir).toPandas().sort_values("k").equals(got)
