@@ -1093,3 +1093,67 @@ def q_ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec.unpersist()
     return spark.createDataFrame(
         rows, "k long, inertia double, silhouette double")
+
+
+@register(
+    "q_llm_pmi_collocations",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+               WHERE length(text) > 0),
+    bg AS (
+      SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c) AS n1 FROM c12 GROUP BY w1),
+    c2 AS (SELECT w2, SUM(c) AS n2 FROM c12 GROUP BY w2),
+    n AS (SELECT SUM(c) AS total FROM c12)
+    SELECT w1, w2, CAST(c AS BIGINT) AS n_pair,
+           ROUND(ln(c * n.total / (c1.n1 * c2.n2)), 6) AS pmi
+    FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+    WHERE c >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def q_llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 bigrams by pointwise mutual
+    information PMI = ln(P(w1,w2)/(P(w1)P(w2))) with a min-count
+    floor of 5 — the phrase detector (multiword expressions land at
+    high PMI, boilerplate function-word pairs at ~0) used to build
+    phrase vocabularies before tokenizer training. Marginals are
+    position-consistent (first-slot / second-slot of the same bigram
+    stream), so probabilities sum to 1 by construction.
+
+    Scale: one corpus pass to bigram counts, then vocab-sized joins
+    with the marginal tables; the total is one broadcast scalar."""
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = d.select(tokens("text").alias("toks")).filter(F.size("toks") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("n1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c").alias("n2"))
+    n = c12.agg(F.sum("c").alias("total"))
+    return (
+        c12.filter(F.col("c") >= 5)
+        .join(c1, "w1").join(c2, "w2").crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2",
+            F.col("c").cast("long").alias("n_pair"),
+            F.round(F.log(F.col("c") * F.col("total")
+                          / (F.col("n1") * F.col("n2"))), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
