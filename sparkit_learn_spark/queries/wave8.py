@@ -1157,3 +1157,68 @@ def q_llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(50)
     )
+
+
+@register(
+    "q_join_scd2_lookup",
+    oracle="""
+    WITH dim AS (
+      SELECT o_custkey,
+             o_orderpriority AS attr,
+             o_orderdate     AS valid_from,
+             LEAD(o_orderdate) OVER w AS valid_to
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    f AS (
+      SELECT o.o_custkey, l.l_shipdate AS ts,
+             l.l_extendedprice * (1 - l.l_discount) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT d.attr AS attr_at_ship,
+           CAST(COUNT(*) AS BIGINT) AS n_shipments,
+           ROUND(SUM(f.rev), 2) AS revenue
+    FROM f JOIN dim d ON f.o_custkey = d.o_custkey
+      AND f.ts >= d.valid_from
+      AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    GROUP BY d.attr
+    """,
+)
+def q_join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: every shipment joined to the
+    customer attribute that was VALID AT ship time (the SCD2 intervals
+    q_scd2_history builds) — the temporal-join semantics that naive
+    'join latest dimension' silently gets wrong for historical facts.
+    Half-open [from, to) intervals make same-day attribute flips
+    zero-width, so exactly one version matches any instant.
+
+    Scale: an EQUI-join on the customer key carrying the interval
+    containment as a residual predicate — co-partitioned shuffle,
+    never an unbounded theta join; the dimension is change-grain."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("o_orderpriority").alias("attr"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    f = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_custkey",
+        F.col("l_shipdate").alias("ts"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    j = f.join(
+        dim,
+        (F.col("o_custkey") == F.col("d_custkey"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    # 2dp, not the usual 6: these groups sum ~1e5 doubles to ~5e9,
+    # where double ulp (~1e-6) makes the 6th decimal summation-order
+    # dependent across engines; at 2dp the result is deterministic
+    return j.groupBy(F.col("attr").alias("attr_at_ship")).agg(
+        F.count("*").alias("n_shipments"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )
