@@ -1222,3 +1222,53 @@ def q_join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_shipments"),
         F.round(F.sum("rev"), 2).alias("revenue"),
     )
+
+
+@register(
+    "q_agg_hhi",
+    oracle="""
+    WITH s AS (
+      SELECT n.n_name,
+             l.l_suppkey,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l
+      JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      JOIN nation n ON su.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, l.l_suppkey
+    ),
+    t AS (SELECT n_name, SUM(rev) AS tot FROM s GROUP BY n_name)
+    SELECT s.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(pow(s.rev / t.tot, 2)), 6) AS hhi
+    FROM s JOIN t USING (n_name)
+    GROUP BY s.n_name
+    """,
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration
+    per nation — sum of squared market shares (1/n = perfectly even,
+    1.0 = monopoly); the concentration complement to q_agg_gini's
+    inequality rank statistic, and share-based so it needs no total
+    order at all.
+
+    Scale: supplier-grain aggregate, nation-grain totals broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    s = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .alias("rev"))
+    )
+    t = s.groupBy("n_name").agg(F.sum("rev").alias("tot"))
+    return (
+        s.join(F.broadcast(t), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(F.pow(F.col("rev") / F.col("tot"), 2)), 6)
+             .alias("hhi"),
+        )
+    )
