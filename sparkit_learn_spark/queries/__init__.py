@@ -60,3 +60,4 @@ from . import dataquality  # noqa: F401
 from . import udfs2  # noqa: F401
 from . import wave7  # noqa: F401
 from . import wave8  # noqa: F401
+from . import wave9  # noqa: F401
