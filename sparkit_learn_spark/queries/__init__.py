@@ -61,3 +61,4 @@ from . import udfs2  # noqa: F401
 from . import wave7  # noqa: F401
 from . import wave8  # noqa: F401
 from . import wave9  # noqa: F401
+from . import wave10  # noqa: F401
