@@ -80,6 +80,11 @@ HEADLINE = [
     "q_ts_interpolate",     # calendar-spine linear interpolation
     "q_graph_degree",       # near-dup graph degree (pair pipeline + explode)
     "q_dq_checks",          # data-quality constraint report
+    # round-6 closing rotation: stats / basket / classical-analytics
+    "q_stat_welch_ttest",   # classical-stats battery representative
+    "q_ml_basket_rules",    # association rules (bounded self-join)
+    "q_agg_weighted_median",  # histogram-grain cumulative-weight window
+    "q_stat_ols2",          # closed-form OLS from integer moments
 ]
 
 

@@ -369,3 +369,62 @@ def test_gini_no_python_single_partition_free(spark, sf_dir):
     plan = explain_str(Q["q_agg_gini"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_basket_rules_broadcasts_brand_dim_no_python(spark, sf_dir):
+    """Association rules: the part->brand dimension join must
+    broadcast (both for the order-brand build and the support
+    lookups); everything stays JVM-side."""
+    plan = explain_str(Q["q_ml_basket_rules"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_seq_pattern_no_window_no_self_join(spark, sf_dir):
+    """Sequence patterns run as ONE hash agg to journey strings plus
+    row-local regex — no window, no join (the funnel-query alternative
+    would window per user)."""
+    plan = explain_str(Q["q_evt_seq_pattern"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_median_preaggregates_before_window(spark, sf_dir):
+    """Weighted median: the cumulative window must consume the
+    (group, value)-grain histogram, not raw fact rows — the plan
+    carries a partial+final aggregate BELOW the window operator."""
+    plan = explain_str(Q["q_agg_weighted_median"](spark, sf_dir))
+    assert "Window" in plan
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1 and plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ols2_single_shuffle_single_agg_pass(spark, sf_dir):
+    """Closed-form OLS: all ten moments accumulate in ONE partial+
+    final aggregate — exactly one exchange in the whole plan, no
+    second pass over the fact."""
+    plan = explain_str(Q["q_stat_ols2"](spark, sf_dir))
+    # formatted explain prints each node twice (tree + detail header);
+    # count tree nodes only
+    assert plan.count("Exchange (") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_yoy_and_decompose_window_over_aggregated_grain(spark, sf_dir):
+    """Period-over-period + seasonal decomposition: the unpartitioned
+    window must sit ABOVE the month/day-grain aggregate (window input
+    is dimension-sized), and the fact-side aggregate is partial+final."""
+    for name in ("q_ts_yoy", "q_ts_decompose"):
+        plan = explain_str(Q[name](spark, sf_dir))
+        assert "Window" in plan
+        assert plan.count("HashAggregate") >= 2, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_dedup_is_anti_join_on_digest(spark, sf_dir):
+    """Incremental dedup: history check must compile to a LeftAnti
+    join (no except/distinct-subtract detour), shuffling digests only."""
+    plan = explain_str(Q["q_llm_dedup_incremental"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
