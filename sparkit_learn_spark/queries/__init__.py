@@ -65,3 +65,4 @@ from . import wave10  # noqa: F401
 from . import wave11  # noqa: F401
 from . import wave12  # noqa: F401
 from . import wave13  # noqa: F401
+from . import wave14  # noqa: F401
