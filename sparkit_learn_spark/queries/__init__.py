@@ -68,3 +68,4 @@ from . import wave13  # noqa: F401
 from . import wave14  # noqa: F401
 from . import wave15  # noqa: F401
 from . import wave16  # noqa: F401
+from . import wave17  # noqa: F401
