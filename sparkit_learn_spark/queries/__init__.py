@@ -71,3 +71,4 @@ from . import wave16  # noqa: F401
 from . import wave17  # noqa: F401
 from . import wave18  # noqa: F401
 from . import wave19  # noqa: F401
+from . import wave20  # noqa: F401
