@@ -85,6 +85,10 @@ HEADLINE = [
     "q_ml_basket_rules",    # association rules (bounded self-join)
     "q_agg_weighted_median",  # histogram-grain cumulative-weight window
     "q_stat_ols2",          # closed-form OLS from integer moments
+    "q_llm_setjoin_prefix", # PPJoin prefix-filtered set-similarity join
+    "q_sort_zorder",        # Morton-code layout + TakeOrdered top-100
+    "q_evt_burst_detection",  # value-range sliding frame per user
+    "q_evt_pit_features",   # leakage-safe cumulative feature windows
 ]
 
 
