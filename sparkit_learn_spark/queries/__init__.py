@@ -72,3 +72,4 @@ from . import wave17  # noqa: F401
 from . import wave18  # noqa: F401
 from . import wave19  # noqa: F401
 from . import wave20  # noqa: F401
+from . import wave21  # noqa: F401
