@@ -439,3 +439,46 @@ def test_session_timeout_emits_on_idle(spark, sf_dir, tmp_path):
     e = expect.set_index("user_id").sort_index()
     assert (g["n"] == e["n"]).all()
     assert (g["v"] - e["v"]).abs().max() < 2e-6
+
+
+def test_foreachbatch_idempotent_merge(spark, sf_dir, tmp_path):
+    """foreachBatch exactly-once sink pattern: each micro-batch MERGEs
+    into a keyed target (last-write-wins per user) instead of blind
+    appends, so replaying a batch cannot double-count — the sink-side
+    idempotency contract a production stream needs on top of
+    checkpointed sources. Verified: the merged target equals the batch
+    ground truth (per-user event counts), and re-applying the final
+    batch leaves the target unchanged (idempotence)."""
+    events = load_table(spark, sf_dir, "events")
+    target: dict[int, int] = {}
+    applied = []
+
+    def merge_batch(batch_df, batch_id: int):
+        # batch_df IS the complete-mode aggregate (user_id, n)
+        rows = batch_df.collect()
+        applied.append({int(r["user_id"]): int(r["n"]) for r in rows})
+        # keyed overwrite (complete-mode aggregate): replay-safe
+        for r in rows:
+            target[int(r["user_id"])] = int(r["n"])
+
+    src = read_events_stream(spark, sf_dir)
+    agg = src.groupBy("user_id").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(lambda df, bid: merge_batch(df, bid))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    truth = {
+        int(r["user_id"]): int(r["n"])
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert target == truth
+    # idempotence: re-applying the last seen batch changes nothing
+    before = dict(target)
+    for uid, n in applied[-1].items():
+        target[uid] = n
+    assert target == before
