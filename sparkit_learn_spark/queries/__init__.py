@@ -75,3 +75,4 @@ from . import wave20  # noqa: F401
 from . import wave21  # noqa: F401
 from . import wave22  # noqa: F401
 from . import wave23  # noqa: F401
+from . import wave24  # noqa: F401
