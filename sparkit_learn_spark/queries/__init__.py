@@ -76,3 +76,4 @@ from . import wave21  # noqa: F401
 from . import wave22  # noqa: F401
 from . import wave23  # noqa: F401
 from . import wave24  # noqa: F401
+from . import wave25  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
