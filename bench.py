@@ -89,6 +89,13 @@ HEADLINE = [
     "q_sort_zorder",        # Morton-code layout + TakeOrdered top-100
     "q_evt_burst_detection",  # value-range sliding frame per user
     "q_evt_pit_features",   # leakage-safe cumulative feature windows
+    # round-6 final rotation: spatial / rank-stats / retrieval-eval
+    "q_join_spatial_knn",   # adaptive two-phase cell-grid kNN join
+    "q_stat_spearman",      # rank windows + exact decimal moments
+    "q_llm_retrieval_metrics",  # MRR/NDCG panel eval (quantized DCG)
+    "q_llm_rrf_fusion",     # hybrid-search reciprocal-rank fusion
+    "q_stat_mutual_info",   # categorical MI/NMI/Cramér's V profile
+    "q_llm_phrase_search",  # positional inverted-index adjacency join
 ]
 
 
