@@ -85,3 +85,4 @@ from . import wave30  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
 from . import wave31  # noqa: F401
 from . import wave32  # noqa: F401
 from . import wave33  # noqa: F401
+from . import wave34  # noqa: F401
