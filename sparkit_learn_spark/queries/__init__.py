@@ -89,3 +89,4 @@ from . import wave34  # noqa: F401
 from . import wave35  # noqa: F401  (after llm_pipeline6: oracle CTE dep)
 from . import wave36  # noqa: F401
 from . import wave37  # noqa: F401
+from . import wave38  # noqa: F401  (after llm_pipeline6: oracle CTE dep)
