@@ -428,3 +428,47 @@ def test_incremental_dedup_is_anti_join_on_digest(spark, sf_dir):
     plan = explain_str(Q["q_llm_dedup_incremental"](spark, sf_dir))
     assert "LeftAnti" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spatial_knn_no_cartesian_cellgrid_joins(spark, sf_dir):
+    """Adaptive spatial kNN: both phases must be CELL equi-joins
+    (SortMerge/ShuffledHash on (cx, cy)) with the distance predicate
+    as a post-join filter — a CartesianProduct or nested-loop theta
+    join is the quadratic shape this operator exists to avoid."""
+    plan = explain_str(Q["q_join_spatial_knn"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_keyword_extract_df_join_is_broadcast(spark, sf_dir):
+    """Per-doc TF-IDF keywords: the document-frequency dictionary must
+    join back by BROADCAST (vocabulary-sized), and the top-3 window
+    partitions by doc — no global sort of the term-grain table."""
+    plan = explain_str(Q["q_llm_keyword_extract"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phrase_search_filters_before_position_join(spark, sf_dir):
+    """Positional phrase search: postings-list pruning — the token
+    filters must sit BELOW the (doc, position) join, so only the two
+    query terms' positions ever reach the join (no full-index
+    self-join)."""
+    plan = explain_str(Q["q_llm_phrase_search"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both sides of the join are generated+filtered before joining:
+    # the equality filter on the exploded token appears at least twice
+    assert plan.count("hash") >= 1  # term literal reaches a Filter node
+    assert "Filter" in plan
+
+
+def test_proration_windows_at_customer_grain(spark, sf_dir):
+    """Largest-remainder proration: the remainder-rank window must
+    partition by nation over CUSTOMER-grain rows (post-aggregate),
+    with nation totals and bump counts arriving by broadcast."""
+    plan = explain_str(Q["q_fin_proration"](spark, sf_dir))
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
