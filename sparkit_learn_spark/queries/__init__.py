@@ -93,3 +93,4 @@ from . import wave38  # noqa: F401  (after llm_pipeline6: oracle CTE dep)
 from . import wave39  # noqa: F401
 from . import wave40  # noqa: F401
 from . import wave41  # noqa: F401
+from . import wave42  # noqa: F401
