@@ -70,3 +70,68 @@ def register_telemetry_source(spark) -> None:
         spark.dataSource.register(TelemetrySource)
     except Exception:
         pass  # already registered in this session
+
+
+class TelemetryStreamSource(DataSource):
+    """Custom STREAMING source via the Spark 4 Python data-source API
+    (SimpleDataSourceStreamReader): offsets are plain row counters, a
+    micro-batch is the row range [start, min(start+batch, max_rows)),
+    and rows are the same pure function of id the batch source uses —
+    so a batch read of the same range is the exact parity oracle.
+
+    spark.readStream.format("telemetry_stream")
+         .option("max_rows", N).option("batch", B)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "telemetry_stream"
+
+    def schema(self) -> str:
+        return "id long, sensor string, reading double"
+
+    def simpleStreamReader(self, schema) -> "TelemetryStreamReader":
+        return TelemetryStreamReader(
+            int(self.options.get("max_rows", 1000)),
+            int(self.options.get("batch", 100)),
+        )
+
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class TelemetryStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, max_rows: int, batch: int):
+        self.max_rows, self.batch = max_rows, batch
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = start["offset"]
+        hi = min(lo + self.batch, self.max_rows)
+        rows = [
+            (i, f"s{i % 7}", (i * 37 % 1000) / 10.0) for i in range(lo, hi)
+        ]
+        return iter(rows), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay for recovery: same pure function, any range
+        return iter(
+            (i, f"s{i % 7}", (i * 37 % 1000) / 10.0)
+            for i in range(start["offset"], end["offset"])
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def register_telemetry_stream_source(spark) -> None:
+    """Idempotent registration of the custom streaming source."""
+    from ..session import ensure_pkg_on_workers
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(TelemetryStreamSource)
+    except Exception:
+        pass

@@ -482,3 +482,43 @@ def test_foreachbatch_idempotent_merge(spark, sf_dir, tmp_path):
     for uid, n in applied[-1].items():
         target[uid] = n
     assert target == before
+
+
+def test_python_streaming_datasource_matches_batch(spark, tmp_path):
+    """Custom Python STREAMING data source (SimpleDataSourceStreamReader):
+    counter offsets, deterministic micro-batches, availableNow drain —
+    the collected stream must equal the pure-function batch rendering
+    of the same id range (order-insensitive compare on sorted rows)."""
+    from sparkit_learn_spark.sources.pysource import (
+        register_telemetry_stream_source,
+    )
+
+    register_telemetry_stream_source(spark)
+    q = (
+        spark.readStream.format("telemetry_stream")
+        .option("max_rows", 500)
+        .option("batch", 128)
+        .load()
+        .writeStream.format("memory")
+        .queryName("pystream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT COUNT(*) FROM pystream_sink").first()[0] >= 500:
+            break
+        time.sleep(1)
+    q.stop()
+    got = sorted(
+        spark.sql("SELECT * FROM pystream_sink").collect(),
+        key=lambda r: r.id,
+    )
+    assert len(got) == 500
+    for i, r in enumerate(got):
+        assert r.id == i
+        assert r.sensor == f"s{i % 7}"
+        assert abs(r.reading - (i * 37 % 1000) / 10.0) < 1e-12
