@@ -94,3 +94,4 @@ from . import wave39  # noqa: F401
 from . import wave40  # noqa: F401
 from . import wave41  # noqa: F401
 from . import wave42  # noqa: F401
+from . import wave44  # noqa: F401
