@@ -95,3 +95,4 @@ from . import wave40  # noqa: F401
 from . import wave41  # noqa: F401
 from . import wave42  # noqa: F401
 from . import wave44  # noqa: F401
+from . import wave45  # noqa: F401
