@@ -96,3 +96,4 @@ from . import wave41  # noqa: F401
 from . import wave42  # noqa: F401
 from . import wave44  # noqa: F401
 from . import wave45  # noqa: F401
+from . import wave46  # noqa: F401
