@@ -97,3 +97,4 @@ from . import wave42  # noqa: F401
 from . import wave44  # noqa: F401
 from . import wave45  # noqa: F401
 from . import wave46  # noqa: F401
+from . import wave47  # noqa: F401
