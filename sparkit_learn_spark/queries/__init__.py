@@ -98,3 +98,4 @@ from . import wave44  # noqa: F401
 from . import wave45  # noqa: F401
 from . import wave46  # noqa: F401
 from . import wave47  # noqa: F401
+from . import wave48  # noqa: F401
