@@ -100,3 +100,4 @@ from . import wave46  # noqa: F401
 from . import wave47  # noqa: F401
 from . import wave48  # noqa: F401
 from . import wave49  # noqa: F401
+from . import wave50  # noqa: F401
