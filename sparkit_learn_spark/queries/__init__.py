@@ -101,3 +101,4 @@ from . import wave47  # noqa: F401
 from . import wave48  # noqa: F401
 from . import wave49  # noqa: F401
 from . import wave50  # noqa: F401
+from . import wave51  # noqa: F401
