@@ -96,6 +96,7 @@ HEADLINE = [
     "q_llm_rrf_fusion",     # hybrid-search reciprocal-rank fusion
     "q_stat_mutual_info",   # categorical MI/NMI/Cramér's V profile
     "q_llm_phrase_search",  # positional inverted-index adjacency join
+    "q_sketch_hll_portable",  # cross-engine-verified HLL build+estimate
 ]
 
 
