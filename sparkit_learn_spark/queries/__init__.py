@@ -103,3 +103,4 @@ from . import wave49  # noqa: F401
 from . import wave50  # noqa: F401
 from . import wave51  # noqa: F401
 from . import wave52  # noqa: F401
+from . import wave53  # noqa: F401
