@@ -104,3 +104,4 @@ from . import wave50  # noqa: F401
 from . import wave51  # noqa: F401
 from . import wave52  # noqa: F401
 from . import wave53  # noqa: F401
+from . import wave54  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
