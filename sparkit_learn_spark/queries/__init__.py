@@ -111,3 +111,4 @@ from . import wave57  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
 from . import wave58  # noqa: F401
 from . import wave59  # noqa: F401
 from . import wave60  # noqa: F401
+from . import wave61  # noqa: F401
