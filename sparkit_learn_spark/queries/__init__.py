@@ -112,3 +112,4 @@ from . import wave58  # noqa: F401
 from . import wave59  # noqa: F401
 from . import wave60  # noqa: F401
 from . import wave61  # noqa: F401
+from . import wave62  # noqa: F401
