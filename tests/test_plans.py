@@ -472,3 +472,30 @@ def test_proration_windows_at_customer_grain(spark, sf_dir):
     assert "Window" in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_registers_partial_final_no_python(spark, sf_dir):
+    """Portable HLL: the register build must be a partial+final MAX
+    aggregate at bucket grain (the mergeable-sketch shape) with no
+    Python evaluation anywhere in the plan."""
+    plan = explain_str(Q["q_sketch_hll_portable"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_markov_stationary_no_python_no_cartesian_blowup(spark, sf_dir):
+    """Markov repeated squaring: five k²-grain join-aggregates — the
+    plan must stay JVM-side and never degrade to a nested-loop join
+    over the transition matrix."""
+    plan = explain_str(Q["q_evt_markov_stationary"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multitouch_attribution_bucketless_theta_guard(spark, sf_dir):
+    """U-shaped attribution: the touch join must not compile to a
+    CartesianProduct — the user-key equi component must drive the
+    join, with the 24h band as a post-join or join-side filter."""
+    plan = explain_str(Q["q_evt_multitouch_attribution"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
