@@ -115,3 +115,4 @@ from . import wave61  # noqa: F401
 from . import wave62  # noqa: F401
 from . import wave63  # noqa: F401
 from . import wave64  # noqa: F401
+from . import wave65  # noqa: F401
