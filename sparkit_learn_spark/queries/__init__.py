@@ -117,3 +117,4 @@ from . import wave63  # noqa: F401
 from . import wave64  # noqa: F401
 from . import wave65  # noqa: F401
 from . import wave66  # noqa: F401
+from . import wave67  # noqa: F401
