@@ -41,3 +41,39 @@ def test_degree_consistent_with_pairs(spark, sf_dir):
     pairs = all_queries()["q_llm_ngram_jaccard"](spark, sf_dir).toPandas()
     deg = all_queries()["q_graph_degree"](spark, sf_dir).toPandas()
     assert deg["degree"].sum() == 2 * len(pairs)
+
+
+def test_kcore_is_fixpoint_and_nested(spark, sf_dir):
+    """The 8-round peel q_graph_kcore reports is a true fixpoint on
+    the fixture graph (a python reference peel converges in < 8
+    rounds to the same core sizes), and the 3-core nests inside the
+    2-core."""
+    pairs = all_queries()["q_llm_ngram_jaccard"](spark, sf_dir).toPandas()
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+
+    def peel(k: int) -> set[int]:
+        alive = set(adj)
+        rounds = 0
+        while True:
+            nxt = {u for u in alive if len(adj[u] & alive) >= k}
+            rounds += 1
+            if nxt == alive:
+                break
+            alive = nxt
+        assert rounds <= 8, f"peel needed {rounds} rounds (> unroll bound)"
+        return alive
+
+    got = (
+        all_queries()["q_graph_kcore"](spark, sf_dir)
+        .toPandas()
+        .set_index("k")
+    )
+    cores = {k: peel(k) for k in (2, 3)}
+    assert cores[3] <= cores[2]
+    for k in (2, 3):
+        assert got.loc[k, "n_nodes"] == len(cores[k])
+        n_edges = sum(len(adj[u] & cores[k]) for u in cores[k]) // 2
+        assert got.loc[k, "n_edges"] == n_edges
