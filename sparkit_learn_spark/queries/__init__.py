@@ -120,3 +120,4 @@ from . import wave66  # noqa: F401
 from . import wave67  # noqa: F401
 from . import wave68  # noqa: F401
 from . import wave69  # noqa: F401
+from . import wave70  # noqa: F401
