@@ -97,6 +97,17 @@ HEADLINE = [
     "q_stat_mutual_info",   # categorical MI/NMI/Cramér's V profile
     "q_llm_phrase_search",  # positional inverted-index adjacency join
     "q_sketch_hll_portable",  # cross-engine-verified HLL build+estimate
+    # round-6 closing waves 69-78: one representative per new family
+    "q_stat_bootstrap_ci",  # deterministic Poisson bootstrap (users x 32)
+    "q_join_backoff_cascade",  # COALESCE fallback over broadcast benchmarks
+    "q_maint_compaction_plan",  # manifest-grain bin packing (OPTIMIZE plan)
+    "q_fin_fifo_allocation",   # keyed cumulative-interval allocation join
+    "q_evt_shapley_attribution",  # user-mask x 16-subset coalition game
+    "q_ml_gbm_stumps",      # two-round histogram-split boosting
+    "q_ml_isotonic_decile", # PAV-free max-min isotonic calibration
+    "q_ml_uplift_qini",     # treatment split x score deciles + Qini
+    "q_evt_latency_hdr",    # LENGTH(BIN()) power-of-two latency buckets
+    "q_stat_meta_analysis", # per-nation effects pooled inverse-variance
 ]
 
 
