@@ -132,3 +132,4 @@ from . import wave78  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
 from . import wave79  # noqa: F401
 from . import wave80  # noqa: F401
 from . import wave81  # noqa: F401
+from . import wave82  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
