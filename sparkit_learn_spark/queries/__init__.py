@@ -136,3 +136,4 @@ from . import wave82  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
 from . import wave83  # noqa: F401
 from . import wave84  # noqa: F401
 from . import wave85  # noqa: F401
+from . import wave86  # noqa: F401
