@@ -137,3 +137,4 @@ from . import wave83  # noqa: F401
 from . import wave84  # noqa: F401
 from . import wave85  # noqa: F401
 from . import wave86  # noqa: F401
+from . import wave87  # noqa: F401
