@@ -139,3 +139,4 @@ from . import wave85  # noqa: F401
 from . import wave86  # noqa: F401
 from . import wave87  # noqa: F401
 from . import wave88  # noqa: F401
+from . import wave89  # noqa: F401
