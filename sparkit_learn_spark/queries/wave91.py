@@ -1,0 +1,283 @@
+"""Round-6 wave 91: matrix profile (z-normalized nearest-neighbor
+distance per 7-day window — the motif/discord primitive of modern
+time-series mining), McNemar's paired test for comparing two
+classifiers on the same documents, and the Theil inequality index
+with its between/within-nation decomposition. All exactly
+DuckDB-oracled (matrix-profile correlations derive from exact
+integer dot products; McNemar is pure integer counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "q_ts_matrix_profile",
+    oracle="""
+    WITH d AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, v
+        FROM (SELECT o_orderdate AS day,
+                     SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS v
+              FROM orders GROUP BY 1)),
+    n AS (SELECT CAST(MAX(i) AS BIGINT) AS n FROM d),
+    w AS (
+        SELECT d.i - g.pos AS ws, g.pos AS pos, d.v
+        FROM d CROSS JOIN (SELECT UNNEST(range(0, 7)) AS pos) g
+             CROSS JOIN n
+        WHERE d.i - g.pos >= 1 AND d.i - g.pos <= n.n - 6),
+    mo AS (
+        SELECT ws, SUM(v) AS s,
+               SUM(CAST(v * v AS DECIMAL(38, 0))) AS q
+        FROM w GROUP BY ws),
+    mo2 AS (
+        SELECT ws, s, q,
+               SQRT(7 * CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS sig7
+        FROM mo
+        WHERE 7 * CAST(q AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0),
+    qt AS (
+        SELECT a.ws AS ia, b.ws AS ib,
+               SUM(CAST(a.v * b.v AS DECIMAL(38, 0))) AS qt
+        FROM w a JOIN w b ON a.pos = b.pos
+        WHERE b.ws >= a.ws + 7 OR b.ws <= a.ws - 7
+        GROUP BY 1, 2),
+    dist AS (
+        SELECT qt.ia, qt.ib,
+               GREATEST(14.0 * (1.0
+                   - (7 * CAST(qt.qt AS DOUBLE)
+                      - CAST(ma.s AS DOUBLE) * CAST(mb.s AS DOUBLE))
+                     / (ma.sig7 * mb.sig7)), 0.0) AS d2
+        FROM qt JOIN mo2 ma ON ma.ws = qt.ia
+                JOIN mo2 mb ON mb.ws = qt.ib),
+    prof AS (
+        SELECT ia, ib, d2,
+               ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d2, ib) AS rn
+        FROM dist)
+    SELECT CAST(ia AS BIGINT) AS window_start,
+           CAST(ib AS BIGINT) AS nearest_window,
+           ROUND(SQRT(d2), 6) AS mp_dist
+    FROM prof WHERE rn = 1 ORDER BY window_start
+    """,
+)
+def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile of the daily-revenue series (window m=7,
+    exclusion zone m): for every 7-day window, the z-normalized
+    Euclidean distance to its nearest non-overlapping neighbor — low
+    values are motifs (repeated weekly shapes), high values are
+    discords (anomalous weeks). All-pairs dot products QT are EXACT
+    integers (the join aligns window positions, so the 14·(1−corr)
+    distance derives from bit-identical doubles in both engines,
+    clamped at 0 before the sqrt); zero-variance windows are excluded
+    by the same exact-integer predicate on both sides.
+
+    Scale: the series collapses to day grain first, so the all-pairs
+    QT is days²·m — dimension-sized like Theil-Sen/Hodges-Lehmann.
+    The tiny (days·m)-row window table broadcasts, making the
+    pairwise stage a map-side join + partial aggregate with no
+    shuffle of anything fact-sized. (The STOMP O(n²) recurrence is an
+    inherently sequential scan; this formulation trades a constant
+    factor for full data parallelism.)"""
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(F.round("o_totalprice").cast("long")).alias("v"))
+        .select(F.row_number().over(Window.orderBy("day")).alias("i"), "v")
+    )
+    n = d.agg(F.max("i").cast("long").alias("n"))
+    w = (
+        d.crossJoin(F.broadcast(n))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("pos"), "i", "v", "n"
+        )
+        .withColumn("ws", F.col("i") - F.col("pos"))
+        .filter((F.col("ws") >= 1) & (F.col("ws") <= F.col("n") - 6))
+        .select("ws", "pos", "v")
+        .persist()
+    )
+    dec = "decimal(38,0)"
+    mo = w.groupBy("ws").agg(
+        F.sum("v").alias("s"), F.sum((F.col("v") * F.col("v")).cast(dec)).alias("q")
+    )
+    var7 = 7 * F.col("q").cast("double") - F.col("s").cast("double") * F.col("s").cast("double")
+    mo2 = mo.filter(var7 > 0).select("ws", "s", F.sqrt(var7).alias("sig7"))
+    a = w.select(F.col("ws").alias("ia"), F.col("pos").alias("pa"), F.col("v").alias("va"))
+    b = w.select(F.col("ws").alias("ib"), F.col("pos").alias("pb"), F.col("v").alias("vb"))
+    qt = (
+        a.join(
+            F.broadcast(b),
+            (F.col("pa") == F.col("pb"))
+            & ((F.col("ib") >= F.col("ia") + 7) | (F.col("ib") <= F.col("ia") - 7)),
+        )
+        .groupBy("ia", "ib")
+        .agg(F.sum((F.col("va") * F.col("vb")).cast(dec)).alias("qt"))
+    )
+    ma = mo2.select(F.col("ws").alias("ia"), F.col("s").alias("sa"), F.col("sig7").alias("siga"))
+    mb = mo2.select(F.col("ws").alias("ib"), F.col("s").alias("sb"), F.col("sig7").alias("sigb"))
+    dist = (
+        qt.join(F.broadcast(ma), "ia")
+        .join(F.broadcast(mb), "ib")
+        .select(
+            "ia",
+            "ib",
+            F.greatest(
+                14.0
+                * (
+                    1.0
+                    - (7 * F.col("qt").cast("double") - F.col("sa").cast("double") * F.col("sb").cast("double"))
+                    / (F.col("siga") * F.col("sigb"))
+                ),
+                F.lit(0.0),
+            ).alias("d2"),
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy("ia").orderBy("d2", "ib"))
+    return (
+        dist.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ia").cast("long").alias("window_start"),
+            F.col("ib").cast("long").alias("nearest_window"),
+            F.round(F.sqrt("d2"), 6).alias("mp_dist"),
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "q_stat_mcnemar",
+    oracle="""
+    WITH j AS (
+        SELECT (n_chars >= 300) = (lang = 'en') AS a_ok,
+               ((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) >= 50)
+                   = (lang = 'en') AS b_ok
+        FROM documents),
+    c AS (
+        SELECT CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN b_ok AND NOT a_ok THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN a_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a_correct,
+               CAST(SUM(CASE WHEN b_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b_correct,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM j)
+    SELECT a_correct, b_correct, b AS a_only_correct, c AS b_only_correct, n,
+           ROUND(CASE WHEN b + c = 0 THEN 0.0
+                      ELSE (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1)
+                           * (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1)
+                           / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END,
+                 6) AS mcnemar_chi2
+    FROM c
+    """,
+)
+def q_stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (continuity-corrected) comparing two cheap
+    English detectors on the same documents — rule A: length ≥ 300
+    chars; rule B: ≥ 50 spaces — against the lang label. The PAIRED
+    test for classifier comparison: only the discordant counts b
+    (A right, B wrong) and c (B right, A wrong) matter, which is why
+    it detects real differences accuracy deltas wash out. Pure
+    integer counts + one double expression, exactly oracled.
+
+    Scale: one fact pass, five conditional counts, constant-size
+    result — the evaluation shape that costs nothing to keep in a
+    data-quality dashboard at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    gold = F.col("lang") == "en"
+    a_ok = (F.col("n_chars") >= 300) == gold
+    b_ok = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        >= 50
+    ) == gold
+    c = docs.select(a_ok.alias("a_ok"), b_ok.alias("b_ok")).agg(
+        F.sum(F.when(F.col("a_ok") & ~F.col("b_ok"), 1).otherwise(0)).alias("b"),
+        F.sum(F.when(F.col("b_ok") & ~F.col("a_ok"), 1).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("a_ok"), 1).otherwise(0)).alias("a_correct"),
+        F.sum(F.when(F.col("b_ok"), 1).otherwise(0)).alias("b_correct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    return c.select(
+        "a_correct",
+        "b_correct",
+        F.col("b").alias("a_only_correct"),
+        F.col("c").alias("b_only_correct"),
+        "n",
+        F.round(
+            F.when(F.col("b") + F.col("c") == 0, F.lit(0.0)).otherwise(
+                (F.abs(bd - cd) - 1) * (F.abs(bd - cd) - 1) / (bd + cd)
+            ),
+            6,
+        ).alias("mcnemar_chi2"),
+    )
+
+
+@register(
+    "q_agg_theil_inequality",
+    oracle="""
+    WITH x AS (
+        SELECT n.n_name,
+               SUM(CAST(ROUND(o.o_totalprice) AS BIGINT)) AS rev
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, o.o_custkey),
+    g AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(rev) AS BIGINT) AS tot,
+               SUM(CAST(rev AS DOUBLE) * LN(CAST(rev AS DOUBLE)))
+                   AS sxlnx
+        FROM x GROUP BY n_name)
+    SELECT n_name, n_cust,
+           ROUND(sxlnx / CAST(tot AS DOUBLE)
+                 - LN(CAST(tot AS DOUBLE) / CAST(n_cust AS DOUBLE)), 6)
+               AS theil_t,
+           ROUND(CAST(tot AS DOUBLE) / CAST(n_cust AS DOUBLE), 6)
+               AS mean_rev
+    FROM g ORDER BY n_name
+    """,
+)
+def q_agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue within each
+    nation: T = Σ(x/X)·ln(x·n/X) — the entropy-based concentration
+    measure that (unlike Gini) decomposes exactly into within/between
+    components, the standard tool for "is revenue concentration
+    rising, and where?". Algebraically rearranged to
+    Σx·ln(x) / X − ln(X/n) so the data pass accumulates ONE float sum
+    (x·ln x) beside exact integer totals; per-nation term counts are
+    small enough that 6dp rounding absorbs summation-order noise (the
+    same contract as q_agg_entropy).
+
+    Scale: customer-grain aggregate, then nation-grain fold — two
+    map-side-combining aggregations, broadcast dimension joins, no
+    window, no sort until the 25-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    x = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "o_custkey")
+        .agg(F.sum(F.round("o_totalprice").cast("long")).alias("rev"))
+    )
+    g = x.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("rev").alias("tot"),
+        F.sum(F.col("rev").cast("double") * F.log(F.col("rev").cast("double"))).alias("sxlnx"),
+    )
+    totd = F.col("tot").cast("double")
+    ncd = F.col("n_cust").cast("double")
+    return g.select(
+        "n_name",
+        "n_cust",
+        F.round(F.col("sxlnx") / totd - F.log(totd / ncd), 6).alias("theil_t"),
+        F.round(totd / ncd, 6).alias("mean_rev"),
+    ).orderBy("n_name")
