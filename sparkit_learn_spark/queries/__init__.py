@@ -146,3 +146,4 @@ from . import wave92  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
 from . import wave93  # noqa: F401
 from . import wave94  # noqa: F401
 from . import wave95  # noqa: F401
+from . import wave96  # noqa: F401
