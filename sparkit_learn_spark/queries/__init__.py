@@ -147,3 +147,4 @@ from . import wave93  # noqa: F401
 from . import wave94  # noqa: F401
 from . import wave95  # noqa: F401
 from . import wave96  # noqa: F401
+from . import wave97  # noqa: F401
