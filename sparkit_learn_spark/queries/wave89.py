@@ -26,9 +26,9 @@ _H32 = "(({k} * 2654435761) % 4294967296)"
         FROM keys),
     ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_d FROM keys)
     SELECT occ.v AS occupied_buckets, ex.exact_d,
-           ROUND(-65536.0 * LN(CAST(occ.v AS DOUBLE) / 65536.0), 6)
+           ROUND(-65536.0 * LN(CAST(65536 - occ.v AS DOUBLE) / 65536.0), 6)
                AS lc_estimate,
-           ROUND(ABS(-65536.0 * LN(CAST(occ.v AS DOUBLE) / 65536.0)
+           ROUND(ABS(-65536.0 * LN(CAST(65536 - occ.v AS DOUBLE) / 65536.0)
                      - CAST(ex.exact_d AS DOUBLE))
                  / CAST(ex.exact_d AS DOUBLE), 6) AS rel_error
     FROM occ CROSS JOIN ex
@@ -37,7 +37,12 @@ _H32 = "(({k} * 2654435761) % 4294967296)"
 def q_sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear counting (Whang et al.): hash every distinct customer
     key into a 65536-bucket bitmap and estimate the cardinality from
-    the occupancy, n̂ = −m·ln(V/m). The same portable 32-bit
+    the EMPTY-bucket fraction, n̂ = −m·ln(V_empty/m) — the occupancy
+    inverts through the Poisson zero-class probability. (The numpy
+    cross-check in tests/test_stats_numpy.py caught the
+    occupied-fraction formula both engines initially agreed on — the
+    exact failure class engine-mirror oracles cannot see.) The same
+    portable 32-bit
     multiplicative hash as the HLL/CMS sketches, so BOTH engines
     build the identical bitmap and the estimate is exactly oracled —
     construction-verified, not just accuracy-bounded. Linear counting
@@ -56,7 +61,7 @@ def q_sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(_H32.format(k="x")) % 65536).alias("b")
     ).agg(F.countDistinct("b").alias("v"))
     ex = keys.agg(F.count(F.lit(1)).alias("exact_d"))
-    est = -65536.0 * F.log(F.col("v").cast("double") / 65536.0)
+    est = -65536.0 * F.log((65536 - F.col("v")).cast("double") / 65536.0)
     return (
         occ.crossJoin(F.broadcast(ex))
         .select(

@@ -1,0 +1,186 @@
+"""Numpy cross-checks for the round-6 statistics waves (88-97).
+
+The DuckDB oracle gate proves Spark ≡ DuckDB; these tests prove the
+SHARED formula is the right one, by recomputing each statistic from
+scratch in numpy (textbook definitions, no shared code with the
+queries). Catches the "same bug in both engines" class the mirror
+cannot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkit_learn_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def daily(sf_dir):
+    """Daily revenue series (rounded-dollar bigints), ordered by day."""
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    v = o.assign(v=o.o_totalprice.round().astype("int64")).groupby(
+        "o_orderdate")["v"].sum().sort_index()
+    return v
+
+
+def test_kendall_tau_numpy(spark, sf_dir, daily):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    g = o.groupby("o_orderdate").agg(
+        x=("o_totalprice", "size"),
+        y=("o_totalprice", lambda s: s.round().astype("int64").sum()))
+    x, y = g.x.to_numpy(float), g.y.to_numpy(float)
+    n = len(x)
+    sx = np.sign(x[:, None] - x[None, :])
+    sy = np.sign(y[:, None] - y[None, :])
+    s = (sx * sy)[np.triu_indices(n, 1)].sum()
+    n0 = n * (n - 1) / 2
+    _, cx = np.unique(x, return_counts=True)
+    _, cy = np.unique(y, return_counts=True)
+    n1 = (cx * (cx - 1) / 2).sum()
+    n2 = (cy * (cy - 1) / 2).sum()
+    tau = s / np.sqrt((n0 - n1) * (n0 - n2))
+    got = all_queries()["q_stat_kendall_tau"](spark, sf_dir).first()
+    assert got["n_days"] == n
+    assert abs(got["tau_b"] - tau) < 1e-5
+
+
+def test_kruskal_wallis_numpy(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderpriority", "o_totalprice"])
+    v = o.o_totalprice.round().astype("int64")
+    # textbook mid-ranks
+    order = pd.Series(v).rank(method="average")
+    n = len(v)
+    h = 0.0
+    for _, idx in o.groupby("o_orderpriority").groups.items():
+        r = order.loc[idx]
+        h += r.sum() ** 2 / len(r)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, counts = np.unique(v, return_counts=True)
+    tie_c = 1 - ((counts ** 3 - counts).sum() / (n ** 3 - n))
+    got = all_queries()["q_stat_kruskal_wallis"](spark, sf_dir).toPandas()
+    assert abs(got.h_raw.iloc[0] - h) < 1e-4
+    assert abs(got.h_adj.iloc[0] - h / tie_c) < 1e-4
+
+
+def test_durbin_watson_numpy(spark, sf_dir, daily):
+    v = daily.to_numpy(float)
+    t = (pd.to_datetime(daily.index.to_numpy())
+         - pd.to_datetime(daily.index.min())).days.to_numpy(float)
+    b, a = np.polyfit(t, v, 1)
+    e = v - (a + b * t)
+    dw = np.sum(np.diff(e) ** 2) / np.sum(e ** 2)
+    got = all_queries()["q_stat_durbin_watson"](spark, sf_dir).first()
+    assert abs(got["dw"] - dw) < 1e-5
+    assert abs(got["slope"] - b) < 1e-4
+
+
+def test_cooks_distance_numpy(spark, sf_dir, daily):
+    v = daily.to_numpy(float)
+    t = (pd.to_datetime(daily.index.to_numpy())
+         - pd.to_datetime(daily.index.min())).days.to_numpy(float)
+    n = len(v)
+    b, a = np.polyfit(t, v, 1)
+    e = v - (a + b * t)
+    sxx = ((t - t.mean()) ** 2).sum()
+    h = 1.0 / n + (t - t.mean()) ** 2 / sxx
+    s2 = (e ** 2).sum() / (n - 2)
+    d = e ** 2 * h / (2 * s2 * (1 - h) ** 2)
+    top = np.sort(d)[::-1][:10]
+    got = all_queries()["q_stat_influence"](spark, sf_dir).toPandas()
+    assert np.allclose(np.sort(got.cooks_d.to_numpy())[::-1], top, atol=1e-5)
+
+
+def test_matrix_profile_numpy(spark, sf_dir, daily):
+    v = daily.to_numpy(float)
+    m = 7
+    nw = len(v) - m + 1
+    wins = np.lib.stride_tricks.sliding_window_view(v, m).astype(float)
+    mu = wins.mean(axis=1)
+    sd = wins.std(axis=1)  # population std
+    keep = sd > 0
+    z = (wins - mu[:, None]) / np.where(sd == 0, 1, sd)[:, None]
+    d2 = np.full((nw, nw), np.inf)
+    for i in range(nw):
+        if not keep[i]:
+            continue
+        dots = z[i] @ z.T
+        dd = 2 * m * (1 - dots / m)
+        dd[~keep] = np.inf
+        lo, hi = max(0, i - m + 1), min(nw, i + m)
+        dd[lo:hi] = np.inf
+        d2[i] = np.clip(dd, 0, None)
+    mp = np.sqrt(d2.min(axis=1))
+    got = all_queries()["q_ts_matrix_profile"](spark, sf_dir).toPandas()
+    # query windows are 1-based starts; exclusion |i-j| >= 7 == outside [i-6, i+6]
+    for _, row in got.head(50).iterrows():
+        i = int(row.window_start) - 1
+        assert abs(row.mp_dist - mp[i]) < 1e-4, (i, row.mp_dist, mp[i])
+
+
+def test_sax_numpy(spark, sf_dir, daily):
+    v = daily.to_numpy(float)
+    z = (v - v.mean()) / v.std()  # population std
+    sym = np.where(z < -0.6745, "a",
+                   np.where(z < 0, "b", np.where(z < 0.6745, "c", "d")))
+    words = "".join(sym)
+    got = all_queries()["q_ts_sax"](spark, sf_dir).toPandas()
+    assert "".join(got.sort_values("week").word) == words
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    """REL − RES + UNC must equal the raw mean squared error — the
+    Murphy identity, recomputed doc-by-doc in pandas."""
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["n_chars", "lang"])
+    # half-away-from-zero 1dp rounding (engine ROUND), not numpy's banker's
+    p = np.floor(np.minimum(d.n_chars, 999) / 1000.0 * 10 + 0.5) / 10
+    o = (d.lang == "en").astype(float)
+    brier = ((p - o) ** 2).mean()
+    got = all_queries()["q_ml_brier_decomposition"](spark, sf_dir).first()
+    assert abs(got["brier_score"] - brier) < 1e-6
+    assert abs(
+        got["reliability"] - got["resolution"] + got["uncertainty"]
+        - got["brier_score"]
+    ) < 5e-6
+
+
+def test_linear_counting_accuracy(spark, sf_dir):
+    got = all_queries()["q_sketch_linear_counting"](spark, sf_dir).first()
+    assert got["rel_error"] < 0.05
+    assert got["occupied_buckets"] <= got["exact_d"]
+
+
+def test_savitzky_golay_is_least_squares(spark, sf_dir, daily):
+    """The SG kernel must equal a local quadratic least-squares fit:
+    refit a degree-2 polynomial to each 7-point neighborhood with
+    numpy and compare the center value and derivative."""
+    v = daily.to_numpy(float)
+    got = all_queries()["q_ts_savitzky_golay"](spark, sf_dir).toPandas()
+    x = np.arange(-3, 4, dtype=float)
+    for k in range(min(25, len(got))):
+        w = v[k:k + 7]
+        c2, c1, c0 = np.polyfit(x, w, 2)
+        assert abs(got.sg_smooth.iloc[k] - c0) < 1e-4
+        assert abs(got.sg_deriv.iloc[k] - c1) < 1e-4
+
+
+def test_fano_factor_numpy(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    hours = pd.Series(
+        ev.ts.to_numpy().astype("datetime64[s]").astype("int64") // 3600
+    )
+    span = hours.max() - hours.min() + 1
+    got = all_queries()["q_evt_fano_factor"](spark, sf_dir).toPandas()
+    for _, row in got.iterrows():
+        h = hours[ev.event_type == row.event_type]
+        counts = h.value_counts().reindex(
+            range(hours.min(), hours.max() + 1), fill_value=0).to_numpy(float)
+        assert len(counts) == span
+        fano = counts.var() / counts.mean()  # population variance
+        assert abs(row.fano - fano) < 1e-4, (row.event_type, row.fano, fano)
