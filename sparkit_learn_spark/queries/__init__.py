@@ -148,3 +148,4 @@ from . import wave94  # noqa: F401
 from . import wave95  # noqa: F401
 from . import wave96  # noqa: F401
 from . import wave97  # noqa: F401
+from . import wave98  # noqa: F401
