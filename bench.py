@@ -108,6 +108,26 @@ HEADLINE = [
     "q_ml_uplift_qini",     # treatment split x score deciles + Qini
     "q_evt_latency_hdr",    # LENGTH(BIN()) power-of-two latency buckets
     "q_stat_meta_analysis", # per-nation effects pooled inverse-variance
+    # round-6 closing waves 79-98: one representative per new family
+    "q_ts_granger",         # lagged-regression F-test (day-grain moments)
+    "q_evt_propensity_att", # stratified propensity ATT estimate
+    "q_graph_ppr",          # personalized PageRank (iterative, seeded)
+    "q_fin_price_volume_mix",  # price-volume-mix revenue bridge
+    "q_sql_qualify_rewrite",   # QUALIFY-style window filter rewrite
+    "q_stat_eb_shrinkage",  # empirical-Bayes rate shrinkage
+    "q_dq_key_discovery",   # candidate-key/FD discovery profile
+    "q_ml_kmeanspp_init",   # farthest-first k-means seeding rounds
+    "q_stat_kruskal_wallis",   # histogram-rank k-sample test
+    "q_ml_dbscan_grid",     # grid-density clustering + bounded union-find
+    "q_graph_harmonic",     # 3-hop harmonic centrality (integer 6/dist)
+    "q_ts_matrix_profile",  # all-pairs z-normalized motif/discord mining
+    "q_llm_stem_tokens",    # S-stemmer vocabulary conflation
+    "q_llm_lsh_bucket_stats",  # LSH band-bucket skew/cost audit
+    "q_stream_window_topk", # tumbling-window leaderboard (rank in window)
+    "q_ml_chi2_features",   # chi-square token feature selection
+    "q_ts_savitzky_golay",  # literal-kernel convolution smoothing
+    "q_evt_time_to_second", # repeat-purchase latency order statistics
+    "q_ml_psi",             # population-stability drift monitor
 ]
 
 

@@ -127,11 +127,13 @@ def q_ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the fact collapses to grid grain FIRST (bounded: months ×
     price bands, independent of row count), the adjacency self-join
-    is grid-sized, and component propagation is the web-scale
-    min-label loop — no per-point distance computation anywhere,
-    which is precisely why grid-DBSCAN scales where point-DBSCAN
-    (O(n²) or index-bound) does not."""
-    from ..operators.components import connected_components
+    is grid-sized, and the cluster merge uses the bounded union-find
+    operator (the grid blob's diameter makes iterative min-label
+    propagation need ~100 rounds; union-find on a dimension-bounded
+    edge list closes it in one bounded collect) — no per-point
+    distance computation anywhere, which is precisely why grid-DBSCAN
+    scales where point-DBSCAN (O(n²) or index-bound) does not."""
+    from ..operators.components import connected_components_bounded
 
     o = load_table(spark, sf_dir, "orders")
     cells = (
@@ -158,7 +160,7 @@ def q_ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.abs(F.col("ax") - F.col("bx")) <= 1) & (F.abs(F.col("ay") - F.col("by")) <= 1),
     ).select("src", "dst")
-    comp = connected_components(edges)
+    comp = connected_components_bounded(edges)
     cl = (
         comp.join(core, core["node"] == comp["node"])
         .groupBy("comp")

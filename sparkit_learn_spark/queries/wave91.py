@@ -77,11 +77,14 @@ def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the same exact-integer predicate on both sides.
 
     Scale: the series collapses to day grain first, so the all-pairs
-    QT is days²·m — dimension-sized like Theil-Sen/Hodges-Lehmann.
-    The tiny (days·m)-row window table broadcasts, making the
-    pairwise stage a map-side join + partial aggregate with no
-    shuffle of anything fact-sized. (The STOMP O(n²) recurrence is an
-    inherently sequential scan; this formulation trades a constant
+    stage is days² — dimension-sized like Theil-Sen/Hodges-Lehmann.
+    Each window's 7 values pack into ONE array row (a lead-window
+    pass), so the pairwise stage is a broadcast nested-loop over tiny
+    array rows computing each exact-integer dot with zip_with — no
+    position explode, no 40M-row shuffle (the first formulation
+    grouped (pair × position) rows and was 6× slower); the per-window
+    min is a map-side-combining min(struct). (The STOMP O(n²)
+    recurrence is inherently sequential; this trades a constant
     factor for full data parallelism.)"""
     o = load_table(spark, sf_dir, "orders")
     d = (
@@ -89,64 +92,50 @@ def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round("o_totalprice").cast("long")).alias("v"))
         .select(F.row_number().over(Window.orderBy("day")).alias("i"), "v")
     )
-    n = d.agg(F.max("i").cast("long").alias("n"))
-    w = (
-        d.crossJoin(F.broadcast(n))
-        .select(
-            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("pos"), "i", "v", "n"
-        )
-        .withColumn("ws", F.col("i") - F.col("pos"))
-        .filter((F.col("ws") >= 1) & (F.col("ws") <= F.col("n") - 6))
-        .select("ws", "pos", "v")
-        .persist()
-    )
-    dec = "decimal(38,0)"
-    mo = w.groupBy("ws").agg(
-        F.sum("v").alias("s"), F.sum((F.col("v") * F.col("v")).cast(dec)).alias("q")
+    wlead = Window.orderBy("i")
+    arr = d.select(
+        F.col("i").alias("ws"),
+        F.array(
+            F.col("v"),
+            *[F.lead("v", k).over(wlead) for k in range(1, 7)],
+        ).alias("a"),
+    ).filter(~F.array_contains(F.expr("transform(a, x -> x is null)"), F.lit(True)))
+    mo = arr.select(
+        "ws",
+        "a",
+        F.expr("aggregate(a, 0L, (acc, x) -> acc + x)").alias("s"),
+        F.expr("aggregate(a, 0L, (acc, x) -> acc + x * x)").alias("q"),
     )
     var7 = 7 * F.col("q").cast("double") - F.col("s").cast("double") * F.col("s").cast("double")
-    mo2 = mo.filter(var7 > 0).select("ws", "s", F.sqrt(var7).alias("sig7"))
-    a = w.select(F.col("ws").alias("ia"), F.col("pos").alias("pa"), F.col("v").alias("va"))
-    b = w.select(F.col("ws").alias("ib"), F.col("pos").alias("pb"), F.col("v").alias("vb"))
-    qt = (
-        a.join(
-            F.broadcast(b),
-            (F.col("pa") == F.col("pb"))
-            & ((F.col("ib") >= F.col("ia") + 7) | (F.col("ib") <= F.col("ia") - 7)),
-        )
-        .groupBy("ia", "ib")
-        .agg(F.sum((F.col("va") * F.col("vb")).cast(dec)).alias("qt"))
+    mo2 = mo.filter(var7 > 0).select("ws", "a", "s", F.sqrt(var7).alias("sig7")).persist()
+    b = mo2.select(
+        F.col("ws").alias("ib"), F.col("a").alias("ab"),
+        F.col("s").alias("sb"), F.col("sig7").alias("sigb"),
     )
-    ma = mo2.select(F.col("ws").alias("ia"), F.col("s").alias("sa"), F.col("sig7").alias("siga"))
-    mb = mo2.select(F.col("ws").alias("ib"), F.col("s").alias("sb"), F.col("sig7").alias("sigb"))
-    dist = (
-        qt.join(F.broadcast(ma), "ia")
-        .join(F.broadcast(mb), "ib")
-        .select(
-            "ia",
-            "ib",
-            F.greatest(
-                14.0
-                * (
-                    1.0
-                    - (7 * F.col("qt").cast("double") - F.col("sa").cast("double") * F.col("sb").cast("double"))
-                    / (F.col("siga") * F.col("sigb"))
-                ),
-                F.lit(0.0),
-            ).alias("d2"),
-        )
+    pairs = mo2.join(
+        F.broadcast(b),
+        (F.col("ib") >= F.col("ws") + 7) | (F.col("ib") <= F.col("ws") - 7),
     )
-    rn = F.row_number().over(Window.partitionBy("ia").orderBy("d2", "ib"))
-    return (
-        dist.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("ia").cast("long").alias("window_start"),
-            F.col("ib").cast("long").alias("nearest_window"),
-            F.round(F.sqrt("d2"), 6).alias("mp_dist"),
-        )
-        .orderBy("window_start")
+    qt = F.expr("aggregate(zip_with(a, ab, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+    d2 = F.greatest(
+        14.0
+        * (
+            1.0
+            - (7 * qt.cast("double") - F.col("s").cast("double") * F.col("sb").cast("double"))
+            / (F.col("sig7") * F.col("sigb"))
+        ),
+        F.lit(0.0),
     )
+    best = (
+        pairs.select(F.col("ws").alias("ia"), F.struct(d2.alias("d2"), F.col("ib")).alias("c"))
+        .groupBy("ia")
+        .agg(F.min("c").alias("c"))
+    )
+    return best.select(
+        F.col("ia").cast("long").alias("window_start"),
+        F.col("c.ib").cast("long").alias("nearest_window"),
+        F.round(F.sqrt("c.d2"), 6).alias("mp_dist"),
+    ).orderBy("window_start")
 
 
 @register(

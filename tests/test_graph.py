@@ -77,3 +77,36 @@ def test_kcore_is_fixpoint_and_nested(spark, sf_dir):
         assert got.loc[k, "n_nodes"] == len(cores[k])
         n_edges = sum(len(adj[u] & cores[k]) for u in cores[k]) // 2
         assert got.loc[k, "n_edges"] == n_edges
+
+
+def test_bounded_union_find_matches_distributed_cc(spark, sf_dir):
+    """connected_components_bounded (driver union-find for
+    dimension-bounded graphs) must label exactly like the distributed
+    min-label operator on the same edge list."""
+    from pyspark.sql import functions as F
+
+    from sparkit_learn_spark.operators.components import (
+        connected_components,
+        connected_components_bounded,
+    )
+    from sparkit_learn_spark.queries.llm_pipeline2 import q_llm_ngram_jaccard
+
+    pairs = q_llm_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    a = {(r["node"], r["comp"]) for r in connected_components(pairs).collect()}
+    b = {(r["node"], r["comp"])
+         for r in connected_components_bounded(pairs).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_bounded_union_find_rejects_oversize(spark):
+    import pytest as _pytest
+
+    from sparkit_learn_spark.operators.components import (
+        connected_components_bounded,
+    )
+
+    edges = spark.range(10).selectExpr("id AS src", "id + 1 AS dst")
+    with _pytest.raises(ValueError):
+        connected_components_bounded(edges, limit=5)
