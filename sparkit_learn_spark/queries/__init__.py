@@ -150,3 +150,4 @@ from . import wave96  # noqa: F401
 from . import wave97  # noqa: F401
 from . import wave98  # noqa: F401
 from . import wave99  # noqa: F401
+from . import wave100  # noqa: F401
