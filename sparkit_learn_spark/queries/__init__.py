@@ -151,3 +151,4 @@ from . import wave97  # noqa: F401
 from . import wave98  # noqa: F401
 from . import wave99  # noqa: F401
 from . import wave100  # noqa: F401
+from . import wave101  # noqa: F401
