@@ -152,3 +152,4 @@ from . import wave98  # noqa: F401
 from . import wave99  # noqa: F401
 from . import wave100  # noqa: F401
 from . import wave101  # noqa: F401
+from . import wave102  # noqa: F401
