@@ -499,3 +499,67 @@ def test_multitouch_attribution_bucketless_theta_guard(spark, sf_dir):
     plan = explain_str(Q["q_evt_multitouch_attribution"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kendall_pairwise_is_day_grain_broadcast(spark, sf_dir):
+    """Kendall tau-b: the pairwise concordance join runs at DAY grain
+    after both sides aggregate — the plan must broadcast one side
+    (dimension-sized) and never nest a cartesian over fact rows."""
+    plan = explain_str(Q["q_stat_kendall_tau"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_matrix_profile_broadcast_nested_loop_on_arrays(spark, sf_dir):
+    """Matrix profile: the all-pairs stage must be a broadcast
+    nested-loop over the tiny window-array table (days² condition
+    evals), NOT a position-exploded shuffle join, and the per-window
+    min must be a partial+final aggregate (map-side combine), not a
+    row_number window over the pair set."""
+    plan = explain_str(Q["q_ts_matrix_profile"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kruskal_rank_histogram_value_domain(spark, sf_dir):
+    """Kruskal-Wallis: ranks must come from the value-domain
+    histogram (aggregate before the cumulative window), so the plan
+    shows aggregation feeding the window, and the group totals join
+    must broadcast."""
+    plan = explain_str(Q["q_stat_kruskal_wallis"](spark, sf_dir))
+    assert "HashAggregate" in plan and "Window" in plan
+    assert "Broadcast" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_auc_fairness_partitions_by_source(spark, sf_dir):
+    """Per-group AUC: the rank window must PARTITION BY source (no
+    global single-partition sort over the histogram) and stay
+    JVM-side."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = Q["q_ml_auc_fairness"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "partitionBy" in plan or "source" in plan  # window spec present
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chi2_features_vocab_grain_aggregates(spark, sf_dir):
+    """Chi-square feature selection: label totals must BROADCAST into
+    the vocab-grain table and the top-20 must be a TakeOrdered, not a
+    global sort."""
+    plan = explain_str(Q["q_ml_chi2_features"](spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_bucket_stats_no_python_no_cartesian(spark, sf_dir):
+    """LSH bucket audit: signature build and bucket folds must stay
+    JVM-side (md5/min/collect built-ins), with no cartesian stage."""
+    plan = explain_str(Q["q_llm_lsh_bucket_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
