@@ -7,10 +7,22 @@ eval in JVM-only queries.
 
 from __future__ import annotations
 
+import pytest
+
 from sparkit_learn_spark.plans.inspect import explain_str
 from sparkit_learn_spark.registry import all_queries
 
 Q = all_queries()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _cache_free_session(spark):
+    """Plan-shape assertions need a cache-free session: frames
+    persisted by earlier test modules can be substituted into these
+    plans as InMemoryTableScan, hiding PushedFilters/scan shapes and
+    making the assertions order-dependent."""
+    spark.catalog.clearCache()
+    yield
 
 
 def test_scan_pruned_pushes_filter_and_prunes_columns(spark, sf_dir):
