@@ -156,3 +156,4 @@ from . import wave102  # noqa: F401
 from . import wave103  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
 from . import wave104  # noqa: F401
 from . import wave105  # noqa: F401
+from . import wave106  # noqa: F401
