@@ -157,3 +157,4 @@ from . import wave103  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
 from . import wave104  # noqa: F401
 from . import wave105  # noqa: F401
 from . import wave106  # noqa: F401
+from . import wave107  # noqa: F401
