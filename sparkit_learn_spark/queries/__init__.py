@@ -158,3 +158,4 @@ from . import wave104  # noqa: F401
 from . import wave105  # noqa: F401
 from . import wave106  # noqa: F401
 from . import wave107  # noqa: F401
+from . import wave108  # noqa: F401
