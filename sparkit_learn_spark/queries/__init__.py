@@ -159,3 +159,4 @@ from . import wave105  # noqa: F401
 from . import wave106  # noqa: F401
 from . import wave107  # noqa: F401
 from . import wave108  # noqa: F401
+from . import wave109  # noqa: F401
