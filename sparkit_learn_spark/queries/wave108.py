@@ -107,7 +107,7 @@ def q_win_days_since_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH halves AS (
         SELECT o_custkey,
-               CASE WHEN o_orderdate < DATE '1995-01-01' THEN 0 ELSE 1 END
+               CASE WHEN o_orderdate < DATE '1998-04-01' THEN 0 ELSE 1 END
                    AS half,
                CAST(ROUND(o_totalprice) AS BIGINT) AS v
         FROM orders),
@@ -137,7 +137,7 @@ def q_win_days_since_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fin_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer value-segment migration matrix: revenue quartile in
-    the first era (pre-1995) vs the second, as a 4×4 transition
+    the first era (pre-1998-04) vs the second, as a 4×4 transition
     matrix with row-normalized migration rates — the retention
     analysis that distinguishes "our top quartile is stable" from
     "top customers churn and are replaced" (same marginals, opposite
@@ -151,7 +151,7 @@ def q_fin_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = (
         o.select(
             "o_custkey",
-            F.when(F.col("o_orderdate") < F.lit("1995-01-01").cast("date"), 0)
+            F.when(F.col("o_orderdate") < F.lit("1998-04-01").cast("date"), 0)
             .otherwise(1)
             .alias("half"),
             F.round("o_totalprice").cast("long").alias("v"),
