@@ -190,7 +190,7 @@ def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dq_drift",
     oracle="""
     WITH b AS (
-        SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 'ref'
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-04-01' THEN 'ref'
                     ELSE 'cur' END AS period,
                LEAST(CAST(FLOOR(o_totalprice / 60000.0) AS BIGINT), 9) AS bin
         FROM orders),
@@ -212,7 +212,8 @@ def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift report (population stability index): order
     totals binned into 10 fixed-width buckets, compared between a
-    reference period (pre-1995) and the current period; each bin emits
+    reference period (pre-1998-04, the data midpoint) and the current
+    period; each bin emits
     its Laplace-smoothed PSI term (p−q)·ln(p/q). Counts are exact
     integers and the smoothing makes every ratio a ratio of exact
     integers, so both engines feed identical doubles into ln.
@@ -223,7 +224,7 @@ def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-quantile path exists separately in q_agg_percentile)."""
     o = load_table(spark, sf_dir, "orders")
     b = o.select(
-        F.when(F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"), "ref")
+        F.when(F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp"), "ref")
         .otherwise("cur")
         .alias("period"),
         F.least(
