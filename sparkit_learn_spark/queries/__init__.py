@@ -168,3 +168,4 @@ from . import wave114  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
 from . import wave115  # noqa: F401
 from . import wave116  # noqa: F401
 from . import wave117  # noqa: F401
+from . import wave118  # noqa: F401
