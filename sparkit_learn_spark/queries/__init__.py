@@ -170,3 +170,4 @@ from . import wave116  # noqa: F401
 from . import wave117  # noqa: F401
 from . import wave118  # noqa: F401
 from . import wave119  # noqa: F401
+from . import wave120  # noqa: F401
