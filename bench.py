@@ -128,6 +128,27 @@ HEADLINE = [
     "q_ts_savitzky_golay",  # literal-kernel convolution smoothing
     "q_evt_time_to_second", # repeat-purchase latency order statistics
     "q_ml_psi",             # population-stability drift monitor
+    # round-6 closing waves 99-120: one representative per new family
+    "q_stat_gumbel_maxima", # block-maxima EVT fit + return levels
+    "q_llm_distinct_n",     # distinct-1/2/3 diversity metric
+    "q_ts_rsi",             # bounded momentum oscillator (frame sums)
+    "q_stat_logrank",       # censored survival comparison (risk sets)
+    "q_join_asof_nearest",  # tolerance-bounded nearest as-of join
+    "q_udf_pandas_iter",    # SCALAR_ITER Arrow UDF (amortized init)
+    "q_stat_anova2",        # two-way ANOVA cell-means decomposition
+    "q_ts_periodogram",     # literal-root multi-period spectral scan
+    "q_ts_kpss",            # stationarity via exact partial sums
+    "q_fin_segment_migration",  # 4x4 quartile transition matrix
+    "q_llm_watermark_detect",   # green-list z-score screening
+    "q_sketch_logbucket_quantile",  # DDSketch-style mergeable quantile
+    "q_ml_somers_d",        # histogram-rank ordinal association
+    "q_evt_kitagawa",       # rate-change mix decomposition
+    "q_llm_cluster_purity", # dedup clusters vs source labels
+    "q_evt_bounce_rate",    # sessionized single-event share
+    "q_stat_wilcoxon_signed",  # paired signed-rank (mid-rank histogram)
+    "q_ml_rec_coverage",    # recommender catalog coverage + Gini
+    "q_llm_weighted_jaccard",  # IDF-weighted near-dup scoring
+    "q_dq_hash_uniformity", # exact-KS portable hash fairness audit
 ]
 
 
