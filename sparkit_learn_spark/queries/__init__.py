@@ -172,3 +172,4 @@ from . import wave118  # noqa: F401
 from . import wave119  # noqa: F401
 from . import wave120  # noqa: F401
 from . import wave121  # noqa: F401
+from . import wave122  # noqa: F401
