@@ -173,3 +173,4 @@ from . import wave119  # noqa: F401
 from . import wave120  # noqa: F401
 from . import wave121  # noqa: F401
 from . import wave122  # noqa: F401
+from . import wave123  # noqa: F401
