@@ -174,3 +174,4 @@ from . import wave120  # noqa: F401
 from . import wave121  # noqa: F401
 from . import wave122  # noqa: F401
 from . import wave123  # noqa: F401
+from . import wave124  # noqa: F401
