@@ -175,3 +175,4 @@ from . import wave121  # noqa: F401
 from . import wave122  # noqa: F401
 from . import wave123  # noqa: F401
 from . import wave124  # noqa: F401
+from . import wave125  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
