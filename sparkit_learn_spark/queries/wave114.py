@@ -199,10 +199,11 @@ FROM agg CROSS JOIN mj
         FROM mth),
     e AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(CAST((v - seasonal_pred) * (v - seasonal_pred)
-                   AS DECIMAL(38, 0))) AS sse_seasonal,
-               SUM(CAST((v - naive_pred) * (v - naive_pred)
-                   AS DECIMAL(38, 0))) AS sse_naive
+               SUM(CAST(v - seasonal_pred AS DECIMAL(38, 0))
+                   * CAST(v - seasonal_pred AS DECIMAL(38, 0)))
+                   AS sse_seasonal,
+               SUM(CAST(v - naive_pred AS DECIMAL(38, 0))
+                   * CAST(v - naive_pred AS DECIMAL(38, 0))) AS sse_naive
         FROM l WHERE seasonal_pred IS NOT NULL AND naive_pred IS NOT NULL)
     SELECT n AS n_months,
            ROUND(SQRT(CAST(sse_seasonal AS DOUBLE) / CAST(n AS DOUBLE)), 6)
@@ -240,10 +241,12 @@ def q_ts_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = l.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
-            ((F.col("v") - F.col("seasonal_pred")) * (F.col("v") - F.col("seasonal_pred"))).cast(dec)
+            (F.col("v") - F.col("seasonal_pred")).cast(dec)
+            * (F.col("v") - F.col("seasonal_pred")).cast(dec)
         ).alias("sse_seasonal"),
         F.sum(
-            ((F.col("v") - F.col("naive_pred")) * (F.col("v") - F.col("naive_pred"))).cast(dec)
+            (F.col("v") - F.col("naive_pred")).cast(dec)
+            * (F.col("v") - F.col("naive_pred")).cast(dec)
         ).alias("sse_naive"),
     )
     nd = F.col("n").cast("double")
