@@ -177,3 +177,4 @@ from . import wave123  # noqa: F401
 from . import wave124  # noqa: F401
 from . import wave125  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
 from . import wave126  # noqa: F401
+from . import wave127  # noqa: F401
