@@ -273,3 +273,70 @@ def test_logrank_identity(spark, sf_dir):
     assert 0 <= got["observed_g0"] <= conv
     assert got["logrank_chi2"] >= 0
     assert abs(got["expected_g0"]) < conv + 1
+
+
+def _orders_status_values(sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderstatus", "o_totalprice"])
+    o = o[o.o_orderstatus.isin(["F", "O"])]
+    v = np.floor(o.o_totalprice + 0.5).astype("int64")
+    return v[o.o_orderstatus.to_numpy() == "F"].to_numpy(), \
+        v[o.o_orderstatus.to_numpy() == "O"].to_numpy()
+
+
+def test_cramer_von_mises_numpy(spark, sf_dir):
+    a, b = _orders_status_values(sf_dir)
+    pooled = np.sort(np.unique(np.concatenate([a, b])))
+    fa = np.searchsorted(np.sort(a), pooled, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pooled, side="right") / len(b)
+    counts = (np.searchsorted(np.sort(a), pooled, side="right")
+              + np.searchsorted(np.sort(b), pooled, side="right"))
+    weights = np.diff(np.concatenate([[0], counts]))
+    t = len(a) * len(b) / (len(a) + len(b)) ** 2 * (
+        weights * (fa - fb) ** 2).sum()
+    got = all_queries()["q_stat_cramer_von_mises"](spark, sf_dir).first()
+    assert abs(got["cvm_t"] - t) < 1e-4
+
+
+def test_variance_ratio_numpy(spark, sf_dir, daily):
+    v = daily.to_numpy(float)
+    d1 = np.diff(v, 1)
+    d5 = v[5:] - v[:-5]
+    vr = d5.var() / (5 * d1.var())  # population variances
+    got = all_queries()["q_ts_variance_ratio"](spark, sf_dir).first()
+    assert abs(got["variance_ratio_5"] - vr) < 1e-4
+
+
+def test_wilcoxon_signed_numpy(spark, sf_dir, daily):
+    s = daily
+    idx = pd.to_datetime(s.index.to_numpy())
+    cur = s.to_numpy(dtype="int64")
+    prev = s.reindex(idx - pd.Timedelta(days=7)).to_numpy()
+    mask = ~pd.isna(prev)
+    diff = cur[mask] - prev[mask].astype("int64")
+    diff = diff[diff != 0]
+    ranks = pd.Series(np.abs(diff)).rank(method="average").to_numpy()
+    w_plus = ranks[diff > 0].sum()
+    n = len(diff)
+    z = (w_plus - n * (n + 1) / 4) / np.sqrt(n * (n + 1) * (2 * n + 1) / 24)
+    got = all_queries()["q_stat_wilcoxon_signed"](spark, sf_dir).first()
+    assert got["n_pairs"] == n
+    assert abs(got["w_plus"] - w_plus) < 1e-6
+    assert abs(got["z_score"] - z) < 1e-5
+
+
+def test_moods_median_numpy(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderpriority", "o_totalprice"])
+    v = np.floor(o.o_totalprice + 0.5).astype("int64")
+    med = np.sort(v)[(len(v) + 1) // 2 - 1]  # type-1 lower median
+    got = all_queries()["q_stat_moods_median"](spark, sf_dir).toPandas()
+    for _, row in got.iterrows():
+        grp = v[(o.o_orderpriority == row.o_orderpriority).to_numpy()]
+        assert (grp > med).sum() == row.above
+        assert (grp <= med).sum() == row.at_or_below
+
+
+def test_permutation_entropy_vs_shuffle_ceiling(spark, sf_dir):
+    got = all_queries()["q_ts_permutation_entropy"](spark, sf_dir).first()
+    assert 0.0 < got["norm_perm_entropy"] <= 1.0
