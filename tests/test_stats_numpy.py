@@ -340,3 +340,25 @@ def test_moods_median_numpy(spark, sf_dir):
 def test_permutation_entropy_vs_shuffle_ceiling(spark, sf_dir):
     got = all_queries()["q_ts_permutation_entropy"](spark, sf_dir).first()
     assert 0.0 < got["norm_perm_entropy"] <= 1.0
+
+
+def test_brunner_munzel_phat_is_pairwise_probability(spark, sf_dir):
+    """p̂ from the rank formulation must equal the brute-force
+    pairwise P(F < O) + 0.5·P(F = O) — validating the mid-rank
+    histogram machinery against the definition it encodes."""
+    a, b = _orders_status_values(sf_dir)
+    lt = (a[:, None] < b[None, :]).sum()
+    eq = (a[:, None] == b[None, :]).sum()
+    p = (lt + 0.5 * eq) / (len(a) * len(b))
+    got = all_queries()["q_stat_brunner_munzel"](spark, sf_dir).first()
+    assert abs(got["p_hat"] - p) < 1e-5
+
+
+def test_price_index_bounds(spark, sf_dir):
+    """Fisher must lie between Laspeyres and Paasche (geometric mean
+    property), and all three must be positive."""
+    got = all_queries()["q_fin_price_index"](spark, sf_dir).first()
+    lo = min(got["laspeyres"], got["paasche"])
+    hi = max(got["laspeyres"], got["paasche"])
+    assert 0 < lo <= got["fisher"] + 1e-9
+    assert got["fisher"] <= hi + 1e-9
