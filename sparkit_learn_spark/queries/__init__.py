@@ -180,3 +180,4 @@ from . import wave126  # noqa: F401
 from . import wave127  # noqa: F401
 from . import wave128  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
 from . import wave129  # noqa: F401
+from . import wave130  # noqa: F401  (after llm_pipeline2: oracle CTE dep)
