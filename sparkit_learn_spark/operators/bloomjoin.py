@@ -26,14 +26,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def bloom_semi_join(fact: DataFrame, dim_keys: DataFrame, fact_key: str,
-                    *, n_bits: int = 8192, n_hashes: int = 3) -> DataFrame:
-    """Semi-join ``fact`` to the single-column key frame ``dim_keys``,
-    pruning fact rows through a broadcast Bloom bitset before the
-    exact join. Result rows == ``fact LEFT SEMI JOIN dim_keys``.
-
-    ``dim_keys`` must have exactly one column, type-identical to
-    ``fact[fact_key]`` (xxhash64 is type-sensitive).
+def bloom_candidates(fact: DataFrame, dim_keys: DataFrame, fact_key: str,
+                     *, n_bits: int = 8192, n_hashes: int = 3) -> DataFrame:
+    """Probe-only stage of :func:`bloom_semi_join`: fact rows whose key
+    passes every Bloom bit test. Contains ALL true members (a Bloom
+    filter has no false negatives) plus ~(1-e^{-kn/m})^k false
+    positives; callers needing exactness must verify with the real
+    semi-join (which :func:`bloom_semi_join` does). Exposed separately
+    so tests can measure the bit arithmetic's selectivity directly.
     """
     if n_bits % 64:
         raise ValueError("n_bits must be a multiple of 64")
@@ -72,11 +72,26 @@ def bloom_semi_join(fact: DataFrame, dim_keys: DataFrame, fact_key: str,
         return (f"(element_at(_bloom, CAST({p} DIV 64 AS INT) + 1) & "
                 f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) != 0")
 
-    candidates = (
+    return (
         fact.join(F.broadcast(bitset))
         .filter(F.expr(" AND ".join(probe(i) for i in range(n_hashes))))
         .drop("_bloom")
     )
+
+
+def bloom_semi_join(fact: DataFrame, dim_keys: DataFrame, fact_key: str,
+                    *, n_bits: int = 8192, n_hashes: int = 3) -> DataFrame:
+    """Semi-join ``fact`` to the single-column key frame ``dim_keys``,
+    pruning fact rows through a broadcast Bloom bitset before the
+    exact join. Result rows == ``fact LEFT SEMI JOIN dim_keys``.
+
+    ``dim_keys`` must have exactly one column, type-identical to
+    ``fact[fact_key]`` (xxhash64 is type-sensitive).
+    """
+    candidates = bloom_candidates(
+        fact, dim_keys, fact_key, n_bits=n_bits, n_hashes=n_hashes
+    )
+    keys = dim_keys.select(F.col(dim_keys.columns[0]).alias("_k")).distinct()
     return candidates.join(
         F.broadcast(keys), candidates[fact_key] == keys["_k"], "left_semi"
     )

@@ -242,7 +242,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Q7 nation pair + shipdate window (two full years, mid-fixture).
-Q7_NATIONS = ("FRANCE", "GERMANY")
+#: Fixture nations are NATION_0..24 (no TPC-H names); this pair has
+#: bilateral 1996-97 trade at ALL of sf0.001/0.01/0.1 (verified r7 —
+#: the FRANCE/GERMANY literals selected nothing, making the oracle
+#: check vacuous; VERDICT r6 "What's wrong" #1).
+Q7_NATIONS = ("NATION_13", "NATION_19")
 Q7_LO, Q7_HI = "1996-01-01", "1997-12-31"
 
 

@@ -89,7 +89,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n   ON n.n_nationkey = s.s_nationkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
-    WHERE p.p_name LIKE '%green%'
+    WHERE p.p_name LIKE '%blue%'
     GROUP BY 1, 2
     """,
 )
@@ -98,9 +98,12 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     by 0.5·retailprice). Parts/suppliers/nations broadcast; orders is
     the one fact-fact shuffle. The part-name filter prunes the fact
     rows straight after its broadcast join — before the expensive
-    orders shuffle."""
+    orders shuffle. Fixture part names are '<color> <noun>' with
+    colors {small,hot,red,blue,large,old,cold,new} — '%green%'
+    matched nothing (r6 vacuous-oracle defect); '%blue%' selects
+    ~255/2000 parts at every SF."""
     li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
@@ -127,7 +130,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS cents
       FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
-      WHERE n.n_name = 'GERMANY'
+      WHERE n.n_name = 'NATION_19'
       GROUP BY 1
     )
     SELECT pk AS p_partkey,
@@ -141,10 +144,12 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER CENTS (cents·10⁴ > Σcents) — a float share comparison
     could flip for a part within one ulp of the cutoff, the r4
     q_agg_corr failure class. The global total is a broadcast scalar
-    (one-row cross join), never a driver round-trip."""
+    (one-row cross join), never a driver round-trip. NATION_19 is the
+    fixture nation with suppliers at every SF (the original GERMANY
+    literal selected nothing — r6 vacuous-oracle defect)."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     v = (
         li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -215,14 +220,17 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier s
     JOIN heavy h  ON h.l_suppkey = s.s_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE n.n_name = 'FRANCE'
+    WHERE n.n_name = 'NATION_19'
     """,
 )
 def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 excess-stock suppliers: the double-nested IN reduced to a
     semi-join chain — red parts (broadcast) restrict lineitem, the
     quantity HAVING (exact integer sum) picks heavy suppliers, and
-    suppliers semi-join that set. No subquery re-execution anywhere."""
+    suppliers semi-join that set. No subquery re-execution anywhere.
+    NATION_19 has heavy red-part suppliers at every fixture SF (the
+    original FRANCE literal selected nothing — r6 vacuous-oracle
+    defect)."""
     li = load_table(spark, sf_dir, "lineitem")
     red = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("red%")
@@ -235,7 +243,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").alias("s_suppkey"))
     )
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "FRANCE")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
     return (
         s.join(heavy, "s_suppkey", "left_semi")
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))

@@ -25,13 +25,15 @@ from ..registry import register
     WHERE l_suppkey IN (
         SELECT s_suppkey FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
-        WHERE n_name = 'GERMANY')
+        WHERE n_name = 'NATION_19')
     GROUP BY l_returnflag
     """,
 )
 def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join through a hand-built broadcast Bloom bitset
-    (operators/bloomjoin.py): German suppliers' keys compress to a
+    (operators/bloomjoin.py): NATION_19 suppliers' keys (a nation with
+    suppliers at every fixture SF; the original GERMANY literal built
+    the Bloom from an EMPTY key set — r6 vacuous-oracle defect) compress to a
     1 KiB array<bigint> that prunes lineitem with pure-codegen bit
     tests BEFORE the exact semi-join removes false positives — the
     shape Spark's runtime row-level filtering injects, built from
@@ -45,7 +47,7 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
     keys = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
     return (
         bloom_semi_join(li, keys, "l_suppkey")

@@ -130,7 +130,7 @@ def test_bloom_prune_plan_and_exactness(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
     keys = s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey")
     got = bloom_semi_join(li, keys, "l_suppkey")
     plan = got._jdf.queryExecution().executedPlan().toString()
@@ -143,25 +143,64 @@ def test_bloom_prune_plan_and_exactness(spark, sf_dir):
 
 
 def test_bloom_prune_filters_most_rows(spark, sf_dir):
-    """The Bloom probe alone (before exact verify) must reject the
-    overwhelming majority of non-member keys — false-positive rate at
-    8192 bits / 3 hashes / ~N/25 keys stays under 5% of rejected rows,
-    or the 'prune before shuffle' scale story is vacuous."""
-    from sparkit_learn_spark.operators.bloomjoin import bloom_semi_join
+    """The Bloom probe alone (before exact verify) must (a) pass EVERY
+    true member (no false negatives — the Bloom contract), (b) reject
+    the overwhelming majority of non-members, and (c) the verify join
+    must remove exactly the surviving false positives. Measured on the
+    probe-only frame (bloom_candidates), not inferred — the r6 version
+    of this test ran with an empty key set and asserted 0 == 0."""
+    from sparkit_learn_spark.operators.bloomjoin import (
+        bloom_candidates, bloom_semi_join)
 
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
     keys = s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    assert keys.count() >= 1  # non-degenerate key set (r6 defect gate)
     true_n = li.join(keys, li.l_suppkey == keys.s_suppkey, "left_semi").count()
-    # candidates = final result's lineage BEFORE the verify join is
-    # not directly exposed; rebuild the probe-only frame by calling
-    # with an always-true verify (superset) — instead measure via the
-    # exact result + independent candidate count
-    cand = bloom_semi_join(li, keys, "l_suppkey")
-    assert cand.count() == true_n  # exactness (verified)
+    assert true_n >= 1
+    cand = bloom_candidates(li, keys, "l_suppkey")
+    cand_n = cand.count()
+    assert cand_n >= true_n  # no false negatives
     total = li.count()
-    assert true_n < 0.2 * total  # the prune is actually selective
+    non_members = total - true_n
+    false_pos = cand_n - true_n
+    # 8192 bits / 3 hashes / tens of keys: FPR is sub-1%; allow 5%.
+    assert false_pos <= 0.05 * non_members
+    assert bloom_semi_join(li, keys, "l_suppkey").count() == true_n
+
+
+def test_bloom_bit_arithmetic_synthetic_keys(spark):
+    """Direct bit-arithmetic exercise on a synthetic key set of a few
+    hundred values (VERDICT r6 next-steps #2): every member must pass
+    the probe, >=95% of non-members must be rejected, and the verify
+    join must strip the remaining false positives exactly. Fails if
+    the word-index/mask math (DIV 64 / % 64 / shiftleft / element_at
+    off-by-one) is wrong in either direction."""
+    from sparkit_learn_spark.operators.bloomjoin import (
+        bloom_candidates, bloom_semi_join)
+
+    # members: 300 keys spread over a large domain; probes: members +
+    # 10_000 non-members.
+    members = spark.range(300).select((F.col("id") * 7919 + 13).alias("k"))
+    fact = spark.range(10_300).select(
+        F.when(F.col("id") < 300, F.col("id") * 7919 + 13)
+         .otherwise(F.col("id") + 5_000_000).alias("k")
+    )
+    cand = bloom_candidates(fact, members, "k")
+    # (a) zero false negatives: all 300 members survive the probe
+    member_survivors = cand.join(
+        members.withColumnRenamed("k", "mk"),
+        F.col("k") == F.col("mk"), "left_semi").count()
+    assert member_survivors == 300
+    # (b) >=95% of the 10_000 non-members rejected
+    false_pos = cand.count() - 300
+    assert false_pos <= 0.05 * 10_000
+    # (c) verify join removes every false positive
+    exact = bloom_semi_join(fact, members, "k")
+    assert exact.count() == 300
+    assert exact.join(members.withColumnRenamed("k", "mk"),
+                      F.col("k") == F.col("mk"), "left_anti").count() == 0
 
 
 def test_rolling_median_window_matches_pandas(spark, sf_dir):
