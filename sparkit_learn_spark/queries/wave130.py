@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import ORACLES, register, set_oracle
 
-from .llm_pipeline2 import q_llm_ngram_jaccard
 
 
 def _ig_sql(bin_expr: str, name: str) -> str:
@@ -179,23 +178,21 @@ def q_ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_graph_pref_attachment")
 def q_graph_pref_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Preferential-attachment link prediction on the near-dup graph:
-    non-adjacent wedge pairs scored by deg(a)·deg(b) — the
+    """Preferential-attachment link prediction on the co-purchase
+    graph: non-adjacent wedge pairs scored by deg(a)·deg(b) — the
     hubs-connect-to-hubs prior, completing the classic quartet beside
     common-neighbors, Adamic-Adar, and neighbor-Jaccard (four priors,
     four different failure modes; serious link prediction ensembles
     all of them). Exact integer degree products, top-15 with
-    deterministic tie-breaks.
+    deterministic tie-breaks. (r7: moved from the near-dup document
+    graph, a clique-union with zero non-adjacent wedges — see
+    queries/_copurchase.py.)
 
     Scale: wedge candidates (never all-pairs) + broadcast degree
     lookups — identical budget to the other three predictors."""
-    pairs = q_llm_ngram_jaccard(spark, sf_dir)
-    sym = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .distinct()
-        .persist()
-    )
+    from ._copurchase import copurchase_sym_edges
+
+    sym = copurchase_sym_edges(spark, sf_dir)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("v"))
     e2 = sym.select(F.col("src").alias("v2"), F.col("dst").alias("b"))
@@ -215,20 +212,22 @@ def q_graph_pref_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(da), "a")
         .join(F.broadcast(db), "b")
         .select(
-            F.col("a").alias("doc_a"),
-            F.col("b").alias("doc_b"),
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
             (F.col("deg_a") * F.col("deg_b")).alias("pa_score"),
         )
-        .orderBy(F.desc("pa_score"), "doc_a", "doc_b")
+        .orderBy(F.desc("pa_score"), "part_a", "part_b")
         .limit(15)
     )
 
 
+from ._copurchase import COPURCHASE_SQL as _COP_SQL  # noqa: E402
+
 set_oracle("q_graph_pref_attachment", f"""
-WITH pairs AS ({ORACLES["q_llm_ngram_jaccard"]}),
+WITH cop AS ({_COP_SQL}),
 edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION ALL SELECT doc_b, doc_a FROM pairs
+  SELECT part_a AS src, part_b AS dst FROM cop
+  UNION ALL SELECT part_b, part_a FROM cop
 ),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
 wedges AS (
@@ -238,8 +237,8 @@ nonadj AS (
   SELECT w.a, w.b
   FROM wedges w LEFT JOIN edges e ON e.src = w.a AND e.dst = w.b
   WHERE e.src IS NULL)
-SELECT n.a AS doc_a, n.b AS doc_b,
+SELECT n.a AS part_a, n.b AS part_b,
        CAST(da.deg * db.deg AS BIGINT) AS pa_score
 FROM nonadj n JOIN deg da ON da.src = n.a JOIN deg db ON db.src = n.b
-ORDER BY pa_score DESC, doc_a, doc_b LIMIT 15
+ORDER BY pa_score DESC, part_a, part_b LIMIT 15
 """)

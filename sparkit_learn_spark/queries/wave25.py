@@ -90,24 +90,21 @@ def q_stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_graph_common_neighbors")
 def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction on the near-dup graph: the 10 NON-adjacent
-    document pairs sharing the most common neighbors (the
-    friend-of-a-friend score) — pairs the pairwise threshold missed
-    but the cluster structure says belong together; exactly the
-    candidates a second dedup pass re-verifies. Counts are exact
-    integers, ties break on the pair.
+    """Link prediction on the co-purchase graph: the 10 NON-adjacent
+    part pairs sharing the most common neighbors (the
+    friend-of-a-friend score) — pairs never co-ordered together but
+    whose shared basket-mates say they belong together; the classic
+    recommendation candidate set. Counts are exact integers, ties
+    break on the pair. (r7: moved from the near-dup document graph,
+    which is a disjoint union of cliques on this corpus — zero
+    non-adjacent wedges at every SF — see queries/_copurchase.py.)
 
     Scale: a 2-hop self-join through the (sparse) edge list grouped at
     pair grain, then an anti-join against the edges — edge-grain
     shuffles, never all-pairs; top-10 is TakeOrderedAndProject."""
-    from .llm_pipeline2 import q_llm_ngram_jaccard
+    from ._copurchase import copurchase_sym_edges
 
-    pairs = q_llm_ngram_jaccard(spark, sf_dir)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint(eager=True)
+    edges = copurchase_sym_edges(spark, sf_dir)
     x, y = edges.alias("x"), edges.alias("y")
     two_hop = (
         x.join(
@@ -116,36 +113,38 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.src") < F.col("y.dst")),
         )
         .groupBy(
-            F.col("x.src").alias("doc_a"), F.col("y.dst").alias("doc_b")
+            F.col("x.src").alias("part_a"), F.col("y.dst").alias("part_b")
         )
         .agg(F.count("*").alias("common_neighbors"))
     )
     adj = edges.select(
-        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+        F.col("src").alias("part_a"), F.col("dst").alias("part_b")
     )
     return (
-        two_hop.join(adj, ["doc_a", "doc_b"], "left_anti")
-        .orderBy(F.col("common_neighbors").desc(), "doc_a", "doc_b")
+        two_hop.join(adj, ["part_a", "part_b"], "left_anti")
+        .orderBy(F.col("common_neighbors").desc(), "part_a", "part_b")
         .limit(10)
     )
 
 
+from ._copurchase import COPURCHASE_SQL as _COP_SQL  # noqa: E402
+
 set_oracle(
     "q_graph_common_neighbors",
     f"""
-WITH pairs AS ({ORACLES["q_llm_ngram_jaccard"]}),
-e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs),
+WITH cop AS ({_COP_SQL}),
+e AS (SELECT part_a AS src, part_b AS dst FROM cop
+      UNION ALL SELECT part_b, part_a FROM cop),
 th AS (
-    SELECT x.src AS doc_a, y.dst AS doc_b,
+    SELECT x.src AS part_a, y.dst AS part_b,
            CAST(COUNT(*) AS BIGINT) AS common_neighbors
     FROM e x JOIN e y ON x.dst = y.src AND x.src < y.dst
     GROUP BY 1, 2),
 nonadj AS (
     SELECT th.* FROM th
-    ANTI JOIN e ON e.src = th.doc_a AND e.dst = th.doc_b)
-SELECT doc_a, doc_b, common_neighbors
-FROM nonadj ORDER BY common_neighbors DESC, doc_a, doc_b LIMIT 10
+    ANTI JOIN e ON e.src = th.part_a AND e.dst = th.part_b)
+SELECT part_a, part_b, common_neighbors
+FROM nonadj ORDER BY common_neighbors DESC, part_a, part_b LIMIT 10
 """,
 )
 

@@ -197,7 +197,7 @@ def q_evt_expected_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_graph_adamic_adar")
 def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adamic-Adar link prediction on the near-dup graph: non-
+    """Adamic-Adar link prediction on the co-purchase graph: non-
     adjacent pairs scored by Σ 1/ln(deg(shared neighbor)) — common
     neighbors discounted by how promiscuous they are, the standard
     upgrade over raw common-neighbor counts (a hub that neighbors
@@ -206,25 +206,18 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores are exact integer sums and the top-10 cannot flip on
     float order; the weight table keeps only degree ≥ 2 nodes (a
     shared neighbor always is; degree-1 nodes would hit ln(1) = 0
-    in ANSI mode even though they can never be mid-nodes).
+    in ANSI mode even though they can never be mid-nodes). (r7:
+    moved from the near-dup document graph, a clique-union with zero
+    non-adjacent wedges — see queries/_copurchase.py.)
 
     Scale: a degree aggregate plus the same 2-hop edge-grain
     self-join as q_graph_common_neighbors, grouped at pair grain and
     anti-joined against the edge list — sparse-edge shuffles, never
     all-pairs; top-10 is TakeOrderedAndProject.
     """
-    from .llm_pipeline2 import q_llm_ngram_jaccard
+    from ._copurchase import copurchase_sym_edges
 
-    pairs = q_llm_ngram_jaccard(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
-        .localCheckpoint(eager=True)
-    )
+    edges = copurchase_sym_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -242,33 +235,35 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.src") < F.col("y.dst")),
         )
         .join(F.broadcast(wdeg), F.col("x.dst") == F.col("node"))
-        .groupBy(F.col("x.src").alias("doc_a"), F.col("y.dst").alias("doc_b"))
+        .groupBy(F.col("x.src").alias("part_a"), F.col("y.dst").alias("part_b"))
         .agg(
             F.sum("w").alias("aa_micro"),
             F.count(F.lit(1)).alias("common_neighbors"),
         )
     )
-    adj = edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    adj = edges.select(F.col("src").alias("part_a"), F.col("dst").alias("part_b"))
     return (
-        two_hop.join(adj, ["doc_a", "doc_b"], "left_anti")
+        two_hop.join(adj, ["part_a", "part_b"], "left_anti")
         .select(
-            "doc_a",
-            "doc_b",
+            "part_a",
+            "part_b",
             "common_neighbors",
             "aa_micro",
             F.round(F.col("aa_micro") / 1000000.0, 6).alias("adamic_adar"),
         )
-        .orderBy(F.col("aa_micro").desc(), "doc_a", "doc_b")
+        .orderBy(F.col("aa_micro").desc(), "part_a", "part_b")
         .limit(10)
     )
 
 
+from ._copurchase import COPURCHASE_SQL as _COP_SQL  # noqa: E402
+
 set_oracle(
     "q_graph_adamic_adar",
     f"""
-WITH pairs AS ({ORACLES["q_llm_ngram_jaccard"]}),
-e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs),
+WITH cop AS ({_COP_SQL}),
+e AS (SELECT part_a AS src, part_b AS dst FROM cop
+      UNION ALL SELECT part_b, part_a FROM cop),
 deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
         FROM e GROUP BY src),
 wdeg AS (SELECT node,
@@ -276,7 +271,7 @@ wdeg AS (SELECT node,
                      AS BIGINT) AS w
          FROM deg WHERE deg >= 2),
 th AS (
-    SELECT x.src AS doc_a, y.dst AS doc_b,
+    SELECT x.src AS part_a, y.dst AS part_b,
            CAST(SUM(wd.w) AS BIGINT) AS aa_micro,
            CAST(COUNT(*) AS BIGINT) AS common_neighbors
     FROM e x JOIN e y ON x.dst = y.src AND x.src < y.dst
@@ -284,10 +279,10 @@ th AS (
     GROUP BY x.src, y.dst),
 nonadj AS (
     SELECT th.* FROM th
-    ANTI JOIN e ON e.src = th.doc_a AND e.dst = th.doc_b)
-SELECT doc_a, doc_b, common_neighbors, aa_micro,
+    ANTI JOIN e ON e.src = th.part_a AND e.dst = th.part_b)
+SELECT part_a, part_b, common_neighbors, aa_micro,
        ROUND(aa_micro / 1000000.0, 6) AS adamic_adar
-FROM nonadj ORDER BY aa_micro DESC, doc_a, doc_b LIMIT 10
+FROM nonadj ORDER BY aa_micro DESC, part_a, part_b LIMIT 10
 """,
 )
 

@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import ORACLES, register, set_oracle
 
-from .llm_pipeline2 import q_llm_ngram_jaccard
 
 
 @register(
@@ -102,25 +101,23 @@ def q_llm_stem_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_graph_jaccard_neighbors")
 def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Neighbor-set Jaccard link prediction on the near-dup graph:
+    """Neighbor-set Jaccard link prediction on the co-purchase graph:
     for non-adjacent node pairs sharing ≥1 neighbor, score
     |N(a)∩N(b)| / |N(a)∪N(b)| — the normalized variant of
     common-neighbors (and the third member of the classic link-
     prediction trio beside it and Adamic-Adar). Intersections come
     from a wedge join through shared neighbors; union sizes from
     exact integer degrees (deg_a + deg_b − common), so the score is
-    one exact-integer division, top-15 by (score, pair).
+    one exact-integer division, top-15 by (score, pair). (r7: moved
+    from the near-dup document graph, a clique-union with zero
+    non-adjacent wedges — see queries/_copurchase.py.)
 
     Scale: the wedge join is Σ deg(v)² over neighbors — the standard
-    triangle/wedge budget, bounded by the near-dup graph's small
-    degrees (df-capped upstream); degrees broadcast; never all-pairs."""
-    pairs = q_llm_ngram_jaccard(spark, sf_dir)
-    sym = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .distinct()
-        .persist()
-    )
+    triangle/wedge budget, bounded by the support-filtered edge
+    list's small degrees; degrees broadcast; never all-pairs."""
+    from ._copurchase import copurchase_sym_edges
+
+    sym = copurchase_sym_edges(spark, sf_dir)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("v"))
     e2 = sym.select(F.col("src").alias("v2"), F.col("dst").alias("b"))
@@ -140,8 +137,8 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(da), "a")
         .join(F.broadcast(db), "b")
         .select(
-            F.col("a").alias("doc_a"),
-            F.col("b").alias("doc_b"),
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
             F.col("common").alias("common_neighbors"),
             F.round(
                 F.col("common").cast("double")
@@ -149,16 +146,18 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
-        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .orderBy(F.desc("jaccard"), "part_a", "part_b")
         .limit(15)
     )
 
 
+from ._copurchase import COPURCHASE_SQL as _COP_SQL  # noqa: E402
+
 set_oracle("q_graph_jaccard_neighbors", f"""
-WITH pairs AS ({ORACLES["q_llm_ngram_jaccard"]}),
+WITH cop AS ({_COP_SQL}),
 edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION ALL SELECT doc_b, doc_a FROM pairs
+  SELECT part_a AS src, part_b AS dst FROM cop
+  UNION ALL SELECT part_b, part_a FROM cop
 ),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
 wedges AS (
@@ -169,11 +168,11 @@ nonadj AS (
   SELECT w.a, w.b, w.common
   FROM wedges w LEFT JOIN edges e ON e.src = w.a AND e.dst = w.b
   WHERE e.src IS NULL)
-SELECT n.a AS doc_a, n.b AS doc_b, n.common AS common_neighbors,
+SELECT n.a AS part_a, n.b AS part_b, n.common AS common_neighbors,
        ROUND(CAST(n.common AS DOUBLE)
              / CAST(da.deg + db.deg - n.common AS DOUBLE), 6) AS jaccard
 FROM nonadj n JOIN deg da ON da.src = n.a JOIN deg db ON db.src = n.b
-ORDER BY jaccard DESC, doc_a, doc_b LIMIT 15
+ORDER BY jaccard DESC, part_a, part_b LIMIT 15
 """)
 
 
