@@ -18,72 +18,84 @@ from .llm_pipeline2 import q_llm_ngram_jaccard
 @register(
     "q_join_asof_nearest",
     oracle="""
-    WITH od AS (
-        SELECT o_orderdate AS day,
-               CAST(COUNT(*) AS BIGINT) AS n_orders
-        FROM orders GROUP BY 1),
-    ed AS (
-        SELECT CAST(ts AS DATE) AS eday,
-               CAST(COUNT(*) AS BIGINT) AS n_events
-        FROM events GROUP BY 1),
+    WITH ph AS (
+        SELECT date_trunc('hour', ts) AS phour,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    vh AS (
+        SELECT date_trunc('hour', ts) AS vhour,
+               CAST(COUNT(*) AS BIGINT) AS n_views
+        FROM events WHERE event_type = 'view' GROUP BY 1),
     cand AS (
-        SELECT od.day, od.n_orders, ed.eday, ed.n_events,
-               ABS(DATEDIFF('day', ed.eday, od.day)) AS dist,
-               ROW_NUMBER() OVER (PARTITION BY od.day
-                   ORDER BY ABS(DATEDIFF('day', ed.eday, od.day)), ed.eday)
-                   AS rn
-        FROM od JOIN ed
-          ON ed.eday BETWEEN od.day - INTERVAL 3 DAY
-                         AND od.day + INTERVAL 3 DAY)
-    SELECT day, n_orders, eday AS matched_event_day, n_events,
-           CAST(dist AS BIGINT) AS day_distance
-    FROM cand WHERE rn = 1 ORDER BY day
+        SELECT ph.phour, ph.n_purchases, vh.vhour, vh.n_views,
+               ABS(DATEDIFF('hour', vh.vhour, ph.phour)) AS dist,
+               ROW_NUMBER() OVER (PARTITION BY ph.phour
+                   ORDER BY ABS(DATEDIFF('hour', vh.vhour, ph.phour)),
+                            vh.vhour) AS rn
+        FROM ph JOIN vh
+          ON vh.vhour BETWEEN ph.phour - INTERVAL 3 HOUR
+                          AND ph.phour + INTERVAL 3 HOUR)
+    SELECT phour, n_purchases, vhour AS matched_view_hour, n_views,
+           CAST(dist AS BIGINT) AS hour_distance
+    FROM cand WHERE rn = 1 ORDER BY phour
     """,
 )
 def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest as-of join with tolerance: each order day matched to
-    the CLOSEST event day within ±3 days (ties to the earlier day) —
-    the third as-of mode after backward (q_join_asof) and forward
-    (q_join_asof_forward), i.e. pandas merge_asof
+    """Nearest as-of join with tolerance: each purchase hour matched
+    to the CLOSEST view hour within ±3 hours (ties to the earlier
+    hour) — the third as-of mode after backward (q_join_asof) and
+    forward (q_join_asof_forward), i.e. pandas merge_asof
     direction='nearest'. The band join bounds candidates to ≤7 per
     row, then a per-key rank picks the winner deterministically.
+    (r7: probe moved from order-day vs event-day — the fixtures'
+    orders span 1995-2001 but events span Jan 2024, so the ±3-day
+    band matched NOTHING at any SF and the oracle was vacuous; both
+    sides now come from the events table, where sparse per-type hour
+    coverage at small SFs gives real non-zero distances.)
 
-    Scale: both sides collapse to day grain first; the band join is
+    Scale: both sides collapse to hour grain first; the band join is
     a broadcast range join with a constant candidate fan-out, and
     the rank partitions by the left key — the standard distributed
     nearest-join shape (tolerance bounds make it linear, unlike
     unbounded nearest which needs a sort-merge)."""
-    o = load_table(spark, sf_dir, "orders")
     ev = load_table(spark, sf_dir, "events")
-    od = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_orders")
+    ph = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("phour"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
-    ed = ev.groupBy(F.col("ts").cast("date").alias("eday")).agg(
-        F.count(F.lit(1)).alias("n_events")
+    vh = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.date_trunc("hour", "ts").alias("vhour"))
+        .agg(F.count(F.lit(1)).alias("n_views"))
     )
-    cand = od.join(
-        F.broadcast(ed),
-        (F.col("eday") >= F.date_sub(F.col("day"), 3))
-        & (F.col("eday") <= F.date_add(F.col("day"), 3)),
+    cand = ph.join(
+        F.broadcast(vh),
+        (F.col("vhour") >= F.col("phour") - F.expr("INTERVAL 3 HOURS"))
+        & (F.col("vhour") <= F.col("phour") + F.expr("INTERVAL 3 HOURS")),
     ).select(
-        "day",
-        "n_orders",
-        "eday",
-        "n_events",
-        F.abs(F.datediff("day", "eday")).alias("dist"),
+        "phour",
+        "n_purchases",
+        "vhour",
+        "n_views",
+        F.abs(
+            (F.unix_timestamp("phour") - F.unix_timestamp("vhour")) / 3600
+        ).cast("long").alias("dist"),
     )
-    rn = F.row_number().over(Window.partitionBy("day").orderBy("dist", "eday"))
+    rn = F.row_number().over(
+        Window.partitionBy("phour").orderBy("dist", "vhour")
+    )
     return (
         cand.withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .select(
-            "day",
-            "n_orders",
-            F.col("eday").alias("matched_event_day"),
-            "n_events",
-            F.col("dist").cast("long").alias("day_distance"),
+            "phour",
+            "n_purchases",
+            F.col("vhour").alias("matched_view_hour"),
+            "n_views",
+            F.col("dist").alias("hour_distance"),
         )
-        .orderBy("day")
+        .orderBy("phour")
     )
 
 

@@ -397,16 +397,16 @@ def q_dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_evt_kaplan_meier",
     oracle="""
     WITH bounds AS (
-        SELECT MAX(CAST(ts AS DATE)) AS max_day
-        FROM events),
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS max_day
+        FROM orders),
     u AS (
-        SELECT user_id,
-               date_diff('day', MIN(CAST(ts AS DATE)),
-                         MAX(CAST(ts AS DATE))) AS dur,
-               CASE WHEN MAX(CAST(ts AS DATE))
-                         >= (SELECT max_day FROM bounds) - 7
+        SELECT o_custkey,
+               date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                         MAX(CAST(o_orderdate AS DATE))) AS dur,
+               CASE WHEN MAX(CAST(o_orderdate AS DATE))
+                         >= (SELECT max_day FROM bounds) - 365
                     THEN 0 ELSE 1 END AS died
-        FROM events GROUP BY user_id),
+        FROM orders GROUP BY o_custkey),
     t AS (
         SELECT dur,
                CAST(SUM(died) AS DOUBLE) AS d,
@@ -432,22 +432,28 @@ def q_dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_evt_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier user-retention curve with right censoring: a
-    user's lifetime is first->last event day span; users still active
-    in the final 7 days are censored (not churn). S(t) is the product
-    limit over churn times, computed as exp(sum(ln(1 - d/n))) over an
-    ordered window on the duration-grid (cardinality = distinct
-    lifetimes in days, calendar-bounded).
+    """Kaplan-Meier customer-retention curve with right censoring: a
+    customer's lifetime is the first->last order day span; customers
+    still ordering in the final 365 days of the dataset are censored
+    (not churn). S(t) is the product limit over churn times, computed
+    as exp(sum(ln(1 - d/n))) over an ordered window on the
+    duration-grid (cardinality = distinct lifetimes in days,
+    calendar-bounded). (r7: subject moved from event users — the
+    30-day event log is so dense that EVERY user was active in any
+    trailing window, so every user was censored and the curve was
+    empty at all SFs; orders span 6.5 years with sparse per-customer
+    activity, giving real churn everywhere.)
 
-    Scale: the 100 TB event log shrinks to one row per user (hash
+    Scale: the 100 TB order log shrinks to one row per customer (hash
     agg), then to one row per distinct duration before any window —
     the windows run on a <=days-sized frame."""
-    e = load_table(spark, sf_dir, "events")
-    max_day = e.agg(F.max(F.to_date("ts"))).collect()[0][0]  # one scalar job
-    u = e.groupBy("user_id").agg(
-        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("dur"),
+    e = load_table(spark, sf_dir, "orders")
+    max_day = e.agg(F.max(F.to_date("o_orderdate"))).collect()[0][0]  # one scalar job
+    u = e.groupBy("o_custkey").agg(
+        F.datediff(F.max(F.to_date("o_orderdate")),
+                   F.min(F.to_date("o_orderdate"))).alias("dur"),
         F.when(
-            F.max(F.to_date("ts")) >= F.date_sub(F.lit(max_day), 7), 0
+            F.max(F.to_date("o_orderdate")) >= F.date_sub(F.lit(max_day), 365), 0
         )
         .otherwise(1)
         .alias("died"),
