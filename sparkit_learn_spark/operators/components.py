@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(edges: DataFrame, *, src: str = "src",
@@ -207,6 +208,15 @@ def connected_components_bounded(edges: DataFrame, *, src: str = "src",
             parent[max(ra, rb)] = min(ra, rb)
     comp = {n: find(n) for n in parent}
     spark = edges.sparkSession
+    # Explicit schema (node type = the input's src type): an empty
+    # edge list must return an empty (node, comp) frame like
+    # connected_components does, and createDataFrame cannot infer a
+    # schema from zero rows (ADVICE r6).
+    node_type = edges.schema[src].dataType
+    schema = T.StructType([
+        T.StructField("node", node_type),
+        T.StructField("comp", node_type),
+    ])
     return spark.createDataFrame(
-        [(n, c) for n, c in comp.items()], ["node", "comp"]
+        [(n, c) for n, c in comp.items()], schema
     )

@@ -152,14 +152,19 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey FROM customer
     EXCEPT
     SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01'
     """,
 )
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): customers minus buyers (left-anti join plan)."""
+    """EXCEPT (distinct): customers minus 2001 buyers (left-anti join
+    plan). Minus ALL buyers was empty below sf0.1 (every fixture
+    customer buys eventually), making the driver's sf0.01 check
+    trivially green; the recency restriction yields rows at every
+    SF."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz")
+    ).select(F.col("o_custkey").alias("c_custkey"))
     return c.subtract(o)
 
 

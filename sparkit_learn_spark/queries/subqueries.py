@@ -73,21 +73,26 @@ def q_sub_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name, c_acctbal
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
       AND c_acctbal > 0
     """,
 )
 def q_sub_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated NOT EXISTS (customers in good standing who never
-    ordered) — Catalyst decorrelates to a left ANTI join on custkey:
-    one shuffle each side, no per-row subquery execution."""
+    """Correlated NOT EXISTS (customers in good standing with no 2001
+    order) — Catalyst decorrelates to a left ANTI join on custkey:
+    one shuffle each side, no per-row subquery execution. (r7: the
+    "never ordered" form was empty below sf0.1 — every fixture
+    customer buys eventually — so the driver's sf0.01 check was
+    trivially green; the recency window keeps it value-exercised.)"""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(
         """
         SELECT c_custkey, c_name, c_acctbal
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey)
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01')
           AND c_acctbal > 0
         """
     )

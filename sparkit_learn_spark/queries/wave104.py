@@ -22,10 +22,10 @@ from ..registry import register
     oracle="""
     SELECT l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(ROUND(
+           ROUND(SUM(FLOOR(
                SQRT(CAST(l_quantity AS DOUBLE))
-               * (1 + CAST(ROUND(l_discount * 100) AS BIGINT) / 1000.0),
-               6)), 6) AS score_sum
+               * (1 + CAST(ROUND(l_discount * 100) AS BIGINT) / 1000.0)
+               * 1e6 + 0.5) / 1e6), 6) AS score_sum
     FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
     """,
 )
@@ -35,8 +35,11 @@ def q_udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches through it — the API for UDFs with expensive setup
     (model weights, compiled regexes) where per-batch re-init would
     dominate. Here the 'model' is a constant coefficient table; the
-    scoring math is deterministic (per-row 6dp quantization before
-    the sum), so the aggregate is exactly oracled.
+    scoring math is deterministic — per-row 6dp quantization via
+    TIE-FREE floor(x·10⁶ + 0.5)/10⁶ on BOTH sides (np.round is
+    half-to-even but SQL ROUND is half-away-from-zero, a latent
+    1e-6 cross-engine flake on exact .5 ties — ADVICE r6), so the
+    aggregate is exactly oracled.
 
     Scale: Arrow batch transfer, one Python worker per core,
     setup amortized across ALL batches of a partition — the 10-100×
@@ -52,7 +55,11 @@ def q_udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             q = b["q"].to_numpy(dtype=float)
             d = b["d"].to_numpy(dtype=float)
-            yield pd.Series(np.round(np.sqrt(q) * (1 + d * coef), 6))
+            # tie-free 6dp quantization (matches the oracle's
+            # FLOOR(x*1e6 + 0.5)/1e6; np.round would be half-to-even)
+            yield pd.Series(
+                np.floor(np.sqrt(q) * (1 + d * coef) * 1e6 + 0.5) / 1e6
+            )
 
     scored = li.select(
         "l_linestatus",

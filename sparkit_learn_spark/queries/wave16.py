@@ -260,7 +260,9 @@ def q_evt_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_source_overlap",
     oracle="""
     WITH h AS (
-        SELECT DISTINCT source, sha256(lower(trim(text))) AS sha
+        SELECT DISTINCT source,
+               sha256(array_to_string(
+                   string_split(lower(trim(text)), ' ')[1:8], ' ')) AS sha
         FROM documents),
     tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
     p AS (
@@ -277,17 +279,24 @@ def q_evt_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplicate-overlap matrix: for every pair of corpus
-    sources, how many normalized-text digests they share and the
-    Jaccard of their digest sets — the governance report that decides
-    which source to drop when two feeds mirror each other. Digest
-    grain, exact integers.
+    sources, how many normalized 8-token-prefix digests they share and
+    the Jaccard of their digest sets — the governance report that
+    decides which source to drop when two feeds mirror each other.
+    Digest grain, exact integers. (r7: the fingerprint moved from
+    full-text sha to the 8-token prefix — the corpus has no EXACT
+    cross-source duplicate below sf0.1, so the full-text version was
+    empty at the driver's SF and its oracle check trivially green;
+    prefix collisions exist at every SF: 24/24/248 pairs.)
 
     Scale: shuffle 32-byte digests, never text; the digest self-join
     fans out only within same-digest groups (bounded by sources per
     digest ≤ 20), and the per-source totals broadcast."""
     d = load_table(spark, sf_dir, "documents")
     h = d.select(
-        "source", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("sha")
+        "source",
+        F.sha2(F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 8)
+        ), 256).alias("sha"),
     ).distinct()
     tot = h.groupBy("source").agg(F.count("*").alias("n"))
     a, b = h.alias("a"), h.alias("b")

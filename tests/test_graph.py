@@ -110,3 +110,21 @@ def test_bounded_union_find_rejects_oversize(spark):
     edges = spark.range(10).selectExpr("id AS src", "id + 1 AS dst")
     with _pytest.raises(ValueError):
         connected_components_bounded(edges, limit=5)
+
+
+def test_bounded_union_find_empty_graph(spark):
+    """An empty edge list must return an empty (node, comp) frame —
+    matching connected_components — not crash on schema inference
+    (ADVICE r6: createDataFrame([]) cannot infer a schema)."""
+    from pyspark.sql import functions as F
+
+    from sparkit_learn_spark.operators.components import (
+        connected_components_bounded,
+    )
+
+    empty = spark.range(0).select(
+        F.col("id").alias("src"), F.col("id").alias("dst")
+    )
+    out = connected_components_bounded(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "comp"]

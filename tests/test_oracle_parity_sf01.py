@@ -23,6 +23,15 @@ DRIVER_SF = "/root/testdata/sf0.01"
 
 ORACLED = sorted(all_oracles())
 
+# Registry-wide NON-DEGENERACY gate (VERDICT r6 next-steps #1): an
+# oracled query that returns 0 rows at the driver's SF passes its
+# hash check vacuously (empty == empty proves schema only). Eleven r6
+# queries were green-but-empty at EVERY fixture SF; all were fixed in
+# r7, and this assertion keeps the class extinct. Any future query
+# that is legitimately empty at sf0.01 must carry an entry here with
+# the reason — an unexplained empty result is a defect, not a pass.
+DEGENERACY_EXEMPT: dict[str, str] = {}
+
 
 @pytest.fixture(scope="module")
 def duck_sf01():
@@ -33,4 +42,10 @@ def duck_sf01():
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_match_sf01(spark, duck_sf01, name):
-    check_query(spark, duck_sf01, name, DRIVER_SF)
+    rows = check_query(spark, duck_sf01, name, DRIVER_SF)
+    if name not in DEGENERACY_EXEMPT:
+        assert rows >= 1, (
+            f"{name}: 0 rows at the driver's sf0.01 — its oracle hash "
+            "check is vacuous; make it non-empty or add an annotated "
+            "DEGENERACY_EXEMPT entry"
+        )

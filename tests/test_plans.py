@@ -554,7 +554,14 @@ def test_auc_fairness_partitions_by_source(spark, sf_dir):
 
     df = Q["q_ml_auc_fairness"](spark, sf_dir)
     plan = explain_str(df)
-    assert "partitionBy" in plan or "source" in plan  # window spec present
+    # The WINDOW SPEC itself must partition by source — a bare
+    # "source in plan" is satisfied by any reference to the column
+    # (ADVICE r6). Match windowspecdefinition(source#NN, ...).
+    import re
+
+    assert re.search(r"windowspecdefinition\(source#\d+", plan), (
+        "no window spec partitioned by source in plan"
+    )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
 
