@@ -242,12 +242,26 @@ def main() -> None:
         out["baseline_round"] = baseline["_round"]
         out["regressions"] = regressions
     print(json.dumps(out))
+    # Persist the FULL result in-repo: the driver's BENCH_r{N}.json
+    # keeps only a 2000-char stdout tail ("parsed": null), which made
+    # the regression gate silently no-op in r6 (VERDICT r6 missing #1).
+    # BENCH_LOCAL.json is the durable per-query baseline for the next
+    # round; only written for the contract SF so ad-hoc sf0.01 loops
+    # don't clobber the baseline.
+    if os.environ.get("SPARK_GRAFT_BENCH_PERSIST", "1") == "1" and sf == "0.1":
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(out, f, indent=1)
     spark.stop()
 
 
 def _load_baseline() -> dict | None:
-    """Per-query timings from the latest BENCH_r{N}.json beside this
-    file (the operative baseline per BASELINE.md), or None."""
+    """Per-query timings for the regression gate. Preference order:
+    (1) the latest driver BENCH_r{N}.json IF its "parsed" payload has
+    per-query numbers; (2) the repo-persisted BENCH_LOCAL.json written
+    by the previous bench run (the driver truncates its capture to a
+    2000-char tail, so (1) is usually unavailable — r6's gate silently
+    no-op'd for exactly that reason)."""
     import glob
     import re
 
@@ -257,18 +271,27 @@ def _load_baseline() -> dict | None:
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
-    if not rounds:
-        return None
-    n, path = max(rounds)
-    try:
-        with open(path) as f:
-            parsed = json.load(f).get("parsed") or {}
-        queries = parsed.get("queries") or {}
-    except (OSError, json.JSONDecodeError):
-        return None
-    if not queries:
-        return None
-    return {**queries, "_round": n}
+    best: dict | None = None
+    if rounds:
+        n, path = max(rounds)
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            queries = parsed.get("queries") or {}
+        except (OSError, json.JSONDecodeError):
+            queries = {}
+        if queries:
+            best = {**queries, "_round": n}
+    if best is None:
+        try:
+            with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+                local = json.load(f)
+            queries = local.get("queries") or {}
+        except (OSError, json.JSONDecodeError):
+            queries = {}
+        if queries:
+            best = {**queries, "_round": -1}  # -1 = local persisted run
+    return best
 
 
 if __name__ == "__main__":

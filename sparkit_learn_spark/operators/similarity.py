@@ -212,10 +212,18 @@ def cosine_topk_sharded(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
 def ann_lsh_neighbors(emb: DataFrame, *, radius: float = 1.0,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       bucket_length: float = 0.5, num_hash_tables: int = 4,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42, k: int | None = None) -> DataFrame:
     """Approximate neighbor pairs within a euclidean radius:
     (vec_id_a, vec_id_b, dist). Candidates come from LSH buckets, not
-    the cross product."""
+    the cross product.
+
+    ``k`` bounds the OUTPUT to the k nearest per probe (ties broken
+    on neighbor id): without it the radius join's row count tracks
+    true neighbor density, which the dup-amplified sf1 fixture grows
+    superlinearly (the one 1.87×-of-linear entry in the r6 scale
+    sweeps). With ``k`` the output is ≤ k·n — the same contract IVF
+    top-k keeps — while recall semantics within the radius are
+    unchanged for the k nearest."""
     vec = emb.select(
         F.col(id_col).alias("vec_id"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
@@ -227,11 +235,19 @@ def ann_lsh_neighbors(emb: DataFrame, *, radius: float = 1.0,
     model = lsh.fit(vec)
     pairs = model.approxSimilarityJoin(vec, vec, radius, distCol="dist")
     a, b = F.col("datasetA.vec_id"), F.col("datasetB.vec_id")
-    return (
+    out = (
         pairs.filter(a != b)
         .select(a.alias("vec_id_a"), b.alias("vec_id_b"),
                 F.round("dist", 6).alias("dist"))
     )
+    if k is not None:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy("vec_id_a").orderBy("dist", "vec_id_b")
+        )
+        out = out.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
+    return out
 
 
 def auto_ivf_params(n: int) -> tuple[int, int]:

@@ -250,15 +250,21 @@ def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_llm_ann_lsh")  # rows-only: recall checked in pytest
 def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via BucketedRandomProjectionLSH (euclidean; for
-    unit vectors d² = 2−2cos, so radius 1.0 ≡ cosine ≥ 0.5): the scale
-    path for q_llm_cosine_topk — candidates come from hash buckets,
-    not the full cross product. Output: neighbor counts per vector."""
+    unit vectors d² = 2−2cos, so radius 1.0 ≡ cosine ≥ 0.5): an LSH
+    COMPARISON query beside the headline IVF-PQ path (q_llm_ann).
+    Output: per-vector count + mean distance of its ≤10 nearest
+    in-radius neighbors. (r7: output bounded to top-10 per probe —
+    the unbounded radius join's row count tracked the sf1 fixture's
+    dup-amplified neighbor density, the one >1.5×-of-linear entry in
+    the r6 scale sweeps; the k-cap restores the ≤k·n output contract
+    IVF keeps.)"""
     from ..operators.similarity import ann_lsh_neighbors
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = ann_lsh_neighbors(e, radius=1.0, seed=SEED)
+    pairs = ann_lsh_neighbors(e, radius=1.0, seed=SEED, k=10)
     return pairs.groupBy(F.col("vec_id_a").alias("vec_id")).agg(
-        F.count("*").alias("n_neighbors")
+        F.count("*").alias("n_neighbors"),
+        F.round(F.avg("dist"), 6).alias("mean_dist"),
     )
 
 

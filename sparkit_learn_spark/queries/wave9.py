@@ -391,99 +391,3 @@ def q_dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("q1", "q3")
         .orderBy("o_orderpriority")
     )
-
-
-@register(
-    "q_evt_kaplan_meier",
-    oracle="""
-    WITH bounds AS (
-        SELECT MAX(CAST(o_orderdate AS DATE)) AS max_day
-        FROM orders),
-    u AS (
-        SELECT o_custkey,
-               date_diff('day', MIN(CAST(o_orderdate AS DATE)),
-                         MAX(CAST(o_orderdate AS DATE))) AS dur,
-               CASE WHEN MAX(CAST(o_orderdate AS DATE))
-                         >= (SELECT max_day FROM bounds) - 365
-                    THEN 0 ELSE 1 END AS died
-        FROM orders GROUP BY o_custkey),
-    t AS (
-        SELECT dur,
-               CAST(SUM(died) AS DOUBLE) AS d,
-               CAST(COUNT(*) AS BIGINT) AS leaving
-        FROM u GROUP BY dur),
-    r AS (
-        SELECT dur, d,
-               CAST((SELECT COUNT(*) FROM u) AS DOUBLE)
-                 - COALESCE(SUM(leaving) OVER (
-                       ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND 1 PRECEDING), 0) AS at_risk
-        FROM t),
-    km AS (
-        SELECT dur, d, at_risk,
-               EXP(SUM(LN(1 - d / at_risk)) OVER (ORDER BY dur))
-                   AS surv
-        FROM r WHERE d > 0)
-    SELECT CAST(dur AS BIGINT) AS duration_days,
-           CAST(d AS BIGINT) AS n_churned,
-           CAST(at_risk AS BIGINT) AS n_at_risk,
-           ROUND(surv, 6) AS survival
-    FROM km ORDER BY dur
-    """,
-)
-def q_evt_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier customer-retention curve with right censoring: a
-    customer's lifetime is the first->last order day span; customers
-    still ordering in the final 365 days of the dataset are censored
-    (not churn). S(t) is the product limit over churn times, computed
-    as exp(sum(ln(1 - d/n))) over an ordered window on the
-    duration-grid (cardinality = distinct lifetimes in days,
-    calendar-bounded). (r7: subject moved from event users — the
-    30-day event log is so dense that EVERY user was active in any
-    trailing window, so every user was censored and the curve was
-    empty at all SFs; orders span 6.5 years with sparse per-customer
-    activity, giving real churn everywhere.)
-
-    Scale: the 100 TB order log shrinks to one row per customer (hash
-    agg), then to one row per distinct duration before any window —
-    the windows run on a <=days-sized frame."""
-    e = load_table(spark, sf_dir, "orders")
-    max_day = e.agg(F.max(F.to_date("o_orderdate"))).collect()[0][0]  # one scalar job
-    u = e.groupBy("o_custkey").agg(
-        F.datediff(F.max(F.to_date("o_orderdate")),
-                   F.min(F.to_date("o_orderdate"))).alias("dur"),
-        F.when(
-            F.max(F.to_date("o_orderdate")) >= F.date_sub(F.lit(max_day), 365), 0
-        )
-        .otherwise(1)
-        .alias("died"),
-    )
-    n_users = u.count()
-    t = u.groupBy("dur").agg(
-        F.sum("died").cast("double").alias("d"),
-        F.count("*").alias("leaving"),
-    )
-    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
-    w_cum = Window.orderBy("dur")  # duration-grid-sized, post-shrink
-    r = t.select(
-        "dur",
-        "d",
-        (
-            F.lit(float(n_users))
-            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0).cast("long"))
-        ).alias("at_risk"),
-    )
-    km = r.filter(F.col("d") > 0).select(
-        "dur",
-        "d",
-        "at_risk",
-        F.exp(F.sum(F.log(1 - F.col("d") / F.col("at_risk"))).over(w_cum)).alias(
-            "surv"
-        ),
-    )
-    return km.select(
-        F.col("dur").cast("long").alias("duration_days"),
-        F.col("d").cast("long").alias("n_churned"),
-        F.col("at_risk").cast("long").alias("n_at_risk"),
-        F.round("surv", 6).alias("survival"),
-    ).orderBy("duration_days")

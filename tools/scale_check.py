@@ -41,7 +41,11 @@ EXPECTED_SUPERLINEAR = {
     # (measured: 1460 -> 371k candidate pairs; per-pair cost FELL 5x).
     # Real boilerplate-heavy corpora behave the same way.
     "q_llm_edit_distance": "work ~ candidate pairs ~ near-dup density^2, fixture-amplified",
-    "q_llm_ann_lsh": "radius-join output ~ true neighbor density, fixture-amplified",
+    # r7: q_llm_ann_lsh output now bounded to top-10 per probe (<=10n
+    # rows); the LSH bucket-join WORK still tracks in-radius candidate
+    # density, which the dup-amplified sf1 fixture grows faster than
+    # rows — kept annotated until a sweep shows it back under 1.5x.
+    "q_llm_ann_lsh": "bucket-join candidates ~ neighbor density, fixture-amplified; output k-capped r7",
 }
 
 
