@@ -185,3 +185,62 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     return T.purchase_click_interval_join(p, c)
+
+
+@register(
+    "q_stream_neardup_dedup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               TIMESTAMP '2024-02-01 00:00:00'
+                 + doc_id * INTERVAL 1 SECOND AS ingest_ts,
+               sha256(array_to_string(
+                   (string_split_regex(
+                        regexp_replace(lower(trim(text)),
+                                       '[^a-z0-9 ]', ' ', 'g'),
+                        ' +'))[1:8], ' ')) AS fp
+        FROM documents),
+    half AS (SELECT MAX(doc_id) // 2 AS cut FROM d),
+    corpus AS (SELECT DISTINCT fp FROM d, half WHERE doc_id < cut),
+    incoming AS (SELECT d.* FROM d, half WHERE doc_id >= cut),
+    fresh AS (
+        SELECT i.* FROM incoming i
+        ANTI JOIN corpus c ON c.fp = i.fp),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+                                     ORDER BY ingest_ts, doc_id) AS rn
+        FROM fresh)
+    SELECT doc_id, source, ingest_ts, fp FROM ranked WHERE rn = 1
+    """,
+)
+def q_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming near-dup ingest dedup
+    (streaming/transforms.py neardup_dedup_stream): incoming docs
+    (upper half of doc_id) fingerprinted on their 8 normalized head
+    tokens, anti-joined against the existing-corpus fingerprint set
+    (lower half), then deduped within the batch keeping the earliest
+    arrival per fingerprint. The STREAMING twin (stream-static anti
+    join + watermarked dropDuplicatesWithinWatermark, checkpointed
+    state across triggers) is parity-tested in tests/test_streaming.py
+    ::test_neardup_dedup_stream_matches_batch / _survives_restart —
+    this was the one LLM-pipeline op still batch-only (VERDICT r6 #7).
+
+    Scale: state = one 32-byte digest per in-watermark fingerprint;
+    the corpus key table is digest-grain and broadcastable; text never
+    travels past the fingerprint projection."""
+    from ..sources.parquet_io import documents_batch_with_ingest_ts
+    from ..streaming.transforms import (neardup_dedup_batch,
+                                        neardup_fingerprint)
+
+    batch = documents_batch_with_ingest_ts(spark, sf_dir)
+    cut = batch.agg((F.max("doc_id") / 2).cast("long").alias("cut"))
+    b = batch.crossJoin(F.broadcast(cut))
+    corpus_fps = (
+        b.filter(F.col("doc_id") < F.col("cut"))
+        .select(neardup_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    incoming = b.filter(F.col("doc_id") >= F.col("cut")).drop("cut")
+    return neardup_dedup_batch(incoming, corpus_fps).select(
+        "doc_id", "source", "ingest_ts", "fp"
+    )

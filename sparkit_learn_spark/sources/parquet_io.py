@@ -55,3 +55,38 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # NTZ -> LTZ cast is wall-clock-identity under the UTC session tz
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file source over documents parquet with a synthetic,
+    DETERMINISTIC ingest timestamp (epoch 2024-02-01 + doc_id seconds)
+    so watermark/dedup state semantics are testable without a real
+    ingest clock — the batch twin derives the identical column, so
+    batch ≡ stream parity holds row-for-row."""
+    ensure_runtime_confs(spark)
+    raw = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ingest_ts", _synthetic_ingest_ts())
+
+
+def _synthetic_ingest_ts():
+    """2024-02-01T00:00:00Z + doc_id seconds (LTZ: watermarks require
+    TIMESTAMP, and the session tz is UTC)."""
+    return F.timestamp_micros(
+        (F.lit(1706745600) + F.col("doc_id")) * F.lit(1_000_000)
+    )
+
+
+def documents_batch_with_ingest_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`read_documents_stream` (same synthetic
+    ingest_ts), for stream-parity assertions."""
+    from ..catalog import load_table
+
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "ingest_ts", _synthetic_ingest_ts()
+    )

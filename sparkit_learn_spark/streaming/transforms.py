@@ -311,3 +311,76 @@ def session_timeout_stream(events: DataFrame, *, gap_s: int = 1800) -> DataFrame
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def neardup_fingerprint(text_col):
+    """Near-dup fingerprint for STREAMING dedup: sha256 of the first 8
+    normalized tokens (lowercase, punctuation stripped, whitespace
+    collapsed) — the head-anchored key family of q_llm_fingerprint_key,
+    chosen because it is a pure per-row expression: no shingle
+    explode/groupBy, so it runs identically in a micro-batch and in
+    batch, and the dedup state is one 32-byte digest per doc."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(text_col)), "[^a-z0-9 ]", " "),
+        " +",
+    )
+    return F.sha2(F.concat_ws(" ", F.slice(toks, 1, 8)), 256)
+
+
+def neardup_dedup_stream(docs: DataFrame, corpus_fps: DataFrame) -> DataFrame:
+    """TRUE streaming near-dup dedup for the ingest path (VERDICT r6
+    next-steps #7): a stream of documents is filtered against
+
+      1. the STATIC corpus fingerprint table (stream-static LEFT ANTI
+         equi-join — the incremental batch-vs-corpus contract of
+         q_llm_incremental_dedup, now at micro-batch grain), then
+      2. itself (watermarked ``dropDuplicates`` on the fingerprint —
+         per-key state, bounded by the event-time watermark).
+
+    Emits the FIRST-arriving representative of each previously-unseen
+    fingerprint. The surviving fingerprint SET is deterministic
+    (arrival order only decides the representative); batch parity is
+    asserted on exactly that invariant in tests/test_streaming.py.
+
+    Scale: state is one 32-byte digest per in-watermark fingerprint;
+    the anti-join key table is digest-grain (broadcastable to ~10⁸
+    corpus docs; beyond that the micro-batch side is the small side
+    of a shuffled anti-join). The stream never carries text past the
+    fingerprint projection.
+
+    ``corpus_fps`` must have exactly one column named ``fp``.
+    """
+    keyed = docs.select(
+        "doc_id", "source", "ingest_ts",
+        neardup_fingerprint(F.col("text")).alias("fp"),
+    )
+    fresh = keyed.join(corpus_fps, "fp", "left_anti")
+    return (
+        fresh.withWatermark("ingest_ts", "1 hour")
+        # WithinWatermark, not plain dropDuplicates: per-key state is
+        # EVICTED once the watermark passes it, so state size is
+        # bounded by the dedup horizon (1 h of ingest), not the whole
+        # stream history — the only version that survives an unbounded
+        # 100 TB ingest. Contract: duplicates arriving within the
+        # horizon of each other are deduped; a re-arrival after the
+        # horizon is a new doc (re-checked against the corpus table,
+        # which the sink merges into downstream).
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
+def neardup_dedup_batch(docs: DataFrame, corpus_fps: DataFrame) -> DataFrame:
+    """Batch twin of :func:`neardup_dedup_stream` with a DETERMINISTIC
+    representative (earliest ingest_ts, then doc_id, per fingerprint)
+    — same surviving-fingerprint set; used for stream parity."""
+    keyed = docs.select(
+        "doc_id", "source", "ingest_ts",
+        neardup_fingerprint(F.col("text")).alias("fp"),
+    )
+    fresh = keyed.join(corpus_fps, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("ingest_ts", "doc_id")
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -522,3 +522,105 @@ def test_python_streaming_datasource_matches_batch(spark, tmp_path):
         assert r.id == i
         assert r.sensor == f"s{i % 7}"
         assert abs(r.reading - (i * 37 % 1000) / 10.0) < 1e-12
+
+
+def test_neardup_dedup_stream_matches_batch(spark, sf_dir):
+    """Streaming near-dup ingest dedup (fingerprint anti-join against
+    the static corpus + watermarked within-stream dropDuplicates) must
+    keep exactly the batch twin's surviving-fingerprint set. The
+    representative row is arrival-order-dependent by contract, so
+    parity is asserted on the fp set + count, and on the full rows
+    where the batch pick is unique."""
+    from sparkit_learn_spark.sources.parquet_io import (
+        documents_batch_with_ingest_ts, read_documents_stream)
+
+    batch = documents_batch_with_ingest_ts(spark, sf_dir)
+    median = batch.approxQuantile("doc_id", [0.5], 0.0)[0]
+    corpus_fps = (
+        batch.filter(F.col("doc_id") < median)
+        .select(T.neardup_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .cache()
+    )
+    newdocs_stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") >= median
+    )
+    q = (
+        T.neardup_dedup_stream(newdocs_stream, corpus_fps)
+        .writeStream.format("memory")
+        .queryName("neardup_dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM neardup_dedup_mem").toPandas()
+    expect = T.neardup_dedup_batch(
+        batch.filter(F.col("doc_id") >= median), corpus_fps
+    ).toPandas()
+    assert len(got) == len(expect) > 0
+    assert set(got["fp"]) == set(expect["fp"])
+    # every kept doc's fp must be absent from the corpus
+    corpus = {r["fp"] for r in corpus_fps.collect()}
+    assert not (set(got["fp"]) & corpus)
+
+
+def test_neardup_dedup_stream_state_survives_restart(spark, sf_dir, tmp_path):
+    """Cross-trigger dedup state: a fingerprint emitted in trigger 1
+    must NOT re-emit when its duplicate arrives in trigger 2 after a
+    query restart from the checkpoint (the multi-trigger pattern of
+    test_stateful_incremental_multi_trigger, applied to the ingest
+    dedup)."""
+    import os
+
+    from sparkit_learn_spark.sources.parquet_io import (
+        documents_batch_with_ingest_ts)
+
+    batch = documents_batch_with_ingest_ts(spark, sf_dir).select(
+        "doc_id", "text", "source", "ingest_ts"
+    )
+    median = batch.approxQuantile("doc_id", [0.5], 0.0)[0]
+    corpus_fps = (
+        batch.filter(F.col("doc_id") < median)
+        .select(T.neardup_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .cache()
+    )
+    new = batch.filter(F.col("doc_id") >= median).cache()
+    # trigger 1: even new docs; trigger 2: odd new docs PLUS exact
+    # re-sends of the even docs (planted cross-trigger duplicates)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    even = new.filter(F.col("doc_id") % 2 == 0)
+    odd = new.filter(F.col("doc_id") % 2 == 1)
+    even.coalesce(1).write.parquet(src + "/batch1.dir")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_available():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, source string, ingest_ts timestamp"
+            ).option("recursiveFileLookup", "true").parquet(src)
+        )
+        q = (
+            T.neardup_dedup_stream(stream, corpus_fps)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 > 0
+    odd.unionAll(even).coalesce(1).write.parquet(src + "/batch2.dir")
+    run_available()
+    out = spark.read.parquet(sink)
+    n2 = out.count()
+    # the re-sent even docs must NOT re-emit: growth == odd's new fps
+    batch_all = T.neardup_dedup_batch(new, corpus_fps)
+    assert n2 == batch_all.count()
+    assert out.groupBy("fp").count().filter(F.col("count") > 1).count() == 0
