@@ -47,7 +47,7 @@ def _unit_cost(li: DataFrame) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = c.sk
     JOIN nation n   ON n.n_nationkey = s.s_nationkey
     JOIN region r   ON r.r_regionkey = n.n_regionkey
-    WHERE p.p_size = 25 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+    WHERE p.p_size <= 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
     """,
 )
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,8 +59,13 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cost = _unit_cost(li)
     mins = cost.groupBy("pk").agg(F.min("cost").alias("mc"))
+    # p_size <= 15 (not the TPC-H = 25): the fixture has NO size-25
+    # STANDARD part below sf0.1, and even at sf0.01 the 2 such parts'
+    # min-cost suppliers are non-European — the r6 query was 0 rows at
+    # the driver's SF (caught by the r7 non-degeneracy gate). <=15
+    # keeps the shape and yields 7/19/188 rows across the SFs.
     p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 25) & (F.col("p_type") == "STANDARD")
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
