@@ -628,12 +628,14 @@ class SparkSGDClassifier(SparkBaseEstimator):
     """
 
     def __init__(self, featuresCol: str = "features", labelCol: str = "label",
-                 lr: float = 0.5, reg: float = 0.0, epochs: int = 10):
+                 lr: float = 0.5, reg: float = 0.0, epochs: int = 10,
+                 warm_start: bool = False):
         self.featuresCol = featuresCol
         self.labelCol = labelCol
         self.lr = lr
         self.reg = reg
         self.epochs = epochs
+        self.warm_start = warm_start
         self.coef_: np.ndarray | None = None
         self.intercept_: float = 0.0
         self.n_iter_: int = 0
@@ -692,6 +694,15 @@ class SparkSGDClassifier(SparkBaseEstimator):
         return self
 
     def fit(self, df: DataFrame) -> "SparkSGDClassifier":
+        # sklearn refit contract: fit() starts from scratch unless
+        # warm_start=True (r7 — previously a second fit() silently
+        # continued from the first fit's weights, which is
+        # partial_fit's job, not fit's; caught by the refit-parity
+        # sweep in tests/test_refit_parity.py)
+        if not self.warm_start:
+            self.coef_ = None
+            self.intercept_ = 0.0
+            self.n_iter_ = 0
         # one cached projection feeds every epoch; released on exit
         proj = df.select(self.featuresCol, self.labelCol).persist()
         try:
