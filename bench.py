@@ -29,6 +29,7 @@ HEADLINE = [
     "q_win_running",     # running-frame window
     "q_topk",            # TakeOrderedAndProject
     "q_stream_session",  # session windows (batch mode)
+    "q_stream_neardup_dedup",  # r7: ingest near-dup dedup (batch form)
     "q_udf_pandas",      # Arrow-vectorized Python path
     "q_ml_tfidf",        # explode + double agg + broadcast join
     "q_llm_exact_dedup", # sha2 hash dedup

@@ -1,0 +1,104 @@
+"""sf10 probe (VERDICT r6 next-steps #8): one 100x scale point (vs
+sf0.1) for the dedup/ANN family, run ONE QUERY AT A TIME with a
+per-query wall budget and INCREMENTAL json writes — the single-shot
+sweep form lost everything when the 50-minute umbrella timeout hit.
+
+The sf10 fixture (tools/gen_scale.py --factor 100) replicates sf0.1
+with shifted keys and per-replica doc suffixes: 60M lineitems, 500k
+documents, 200k embedding vectors. A query whose wall grows faster
+than 100x the sf0.1 time has hit a scale cliff.
+
+Usage: python tools/sf10_probe.py [--only a,b,c] [--budget 600]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+SMALL = "/root/testdata/sf0.1"
+BIG = os.path.join(REPO, ".scale/sf10")
+OUT = os.path.join(REPO, "SCALE_r7_sf10.json")
+FACTOR = 100
+
+#: cheap-first so a budget kill loses the least information
+DEFAULT_QUERIES = [
+    "q_llm_exact_dedup",
+    "q_llm_dedup_incremental",
+    "q_stream_neardup_dedup",
+    "q_llm_ann_ivf",
+    "q_llm_ann_ivfpq",
+    "q_llm_dedup_recall",
+    "q_llm_setjoin_prefix",
+    "q_llm_minhash_banded",
+    "q_llm_ngram_jaccard",
+    "q_llm_ann_lsh",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--budget", type=float, default=900.0,
+                    help="per-query sf10 wall budget (s)")
+    a = ap.parse_args()
+    names = a.only.split(",") if a.only else DEFAULT_QUERIES
+
+    from sparkit_learn_spark.registry import all_queries
+    from sparkit_learn_spark.session import get_session
+
+    spark = get_session(
+        "sf10-probe", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_confs={
+            "spark.ui.enabled": "false",
+            # 60M-row shuffles: keep partitions ~128MB-shaped
+            "spark.sql.shuffle.partitions": "64",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    results: dict[str, dict] = {}
+    if os.path.exists(OUT):
+        results = json.load(open(OUT)).get("queries", {})
+
+    def persist():
+        with open(OUT, "w") as f:
+            json.dump({"small": SMALL, "big": BIG, "factor": FACTOR,
+                       "budget_s": a.budget, "queries": results}, f, indent=1)
+
+    from sparkit_learn_spark.catalog import load_table
+    for d in (SMALL, BIG):
+        load_table(spark, d, "lineitem").count()
+
+    for i, name in enumerate(names, 1):
+        if name in results and "error" not in results[name]:
+            print(f"[{i}/{len(names)}] {name}: cached", flush=True)
+            continue
+        row: dict = {}
+        try:
+            t0 = time.perf_counter()
+            queries[name](spark, SMALL).write.format("noop").mode("overwrite").save()
+            row["t_small"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            queries[name](spark, BIG).write.format("noop").mode("overwrite").save()
+            row["t_big"] = round(time.perf_counter() - t0, 2)
+            row["ratio_vs_linear"] = round(
+                row["t_big"] / (FACTOR * row["t_small"]), 3)
+        except Exception as e:  # noqa: BLE001
+            row["error"] = f"{type(e).__name__}: {e}"[:300]
+        results[name] = row
+        persist()
+        print(f"[{i}/{len(names)}] {name}: {row}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
