@@ -802,3 +802,113 @@ def cosine_retrieve(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
                                F.col(vec_col).alias("vb")))
     return q.mapInPandas(topk_batches,
                          schema="qid long, nid long, sim double, rn long")
+
+
+def semdedup(emb: DataFrame, *, n_clusters: int | None = None,
+             threshold: float = 0.4, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 42,
+             chunk: int = 4096) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster-then-dedup-within-cluster — the
+    published scale recipe for embedding dedup, complementing the
+    LSH-candidate path (q_llm_embed_cosine_dedup).
+
+      1. a KMeans coarse quantizer (trained on a BOUNDED sample,
+         reusing the IVF machinery) assigns every vector to one of
+         ~sqrt(n) clusters;
+      2. WITHIN each cluster, exact pairwise cosine >= ``threshold``
+         pairs are folded by a local union-find and every dup group
+         keeps its minimum id.
+
+    Returns one row per vector: (vec_id, cluster_id, keep, dup_of) —
+    ``dup_of`` is the kept representative for dropped rows, NULL for
+    keepers; ``cluster_id`` is the (seed-dependent) quantizer cell,
+    exposed so tests can assert the within-cluster exactness contract.
+
+    Scale: the quadratic term is bounded to sum(|cluster|^2) instead
+    of n^2 — with k ≈ √n lists each task's matmul is ~√n×√n; the
+    within-cluster scoring streams in ``chunk``-row slices so task
+    memory is O(chunk·|cluster|). Cross-cluster near-dups are
+    deliberately missed (the paper's trade: recall tracks quantizer
+    quality); the LSH path is the recall-first alternative.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vec = _spread(emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ))
+    n_total = vec.count()
+    if n_clusters is None:
+        n_clusters, _ = auto_ivf_params(n_total)
+    n_train_cap = max(50 * n_clusters, 4096)
+    train = vec
+    if n_total > n_train_cap:
+        train = vec.sample(fraction=min(1.0, n_train_cap / n_total), seed=seed)
+    centers = _train_coarse_quantizer(
+        train, n_clusters, seed=seed, n_train=min(n_total, n_train_cap)
+    )
+    b_centers = emb.sparkSession.sparkContext.broadcast(centers)
+
+    def assign(batches):
+        C = b_centers.value
+        c2 = (C ** 2).sum(1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(x, np.float64) for x in pdf["v"]])
+            lab = (-2.0 * (X @ C.T) + c2[None, :]).argmin(1)
+            yield pd.DataFrame({
+                "cluster": lab.astype("int32"),
+                "vid": pdf["vid"].to_numpy(),
+                "v": pdf["v"].to_numpy(),
+            })
+
+    assigned = vec.mapInPandas(
+        assign, schema="cluster int, vid long, v array<double>"
+    )
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic within-cluster order: ids ascending, so the
+        # union-find representative is the group minimum
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        ids = pdf["vid"].to_numpy()
+        X = np.array([np.asarray(x, np.float64) for x in pdf["v"]])
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = X[lo:hi] @ X.T  # chunk x n
+            for r in range(hi - lo):
+                i = lo + r
+                js = np.nonzero(sims[r, :i] >= threshold)[0]
+                for j in js:
+                    ri, rj = find(i), find(int(j))
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        root = np.array([find(i) for i in range(n)])
+        keep = root == np.arange(n)
+        dup_of = np.where(keep, np.int64(-1), ids[root])
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster_id": np.full(n, int(pdf["cluster"].iloc[0]),
+                                  dtype=np.int64),
+            "keep": keep, "dup_of": dup_of,
+        })
+
+    out = assigned.groupBy("cluster").applyInPandas(
+        dedup_cluster,
+        schema="vec_id long, cluster_id long, keep boolean, dup_of long",
+    )
+    return out.select(
+        "vec_id", "cluster_id", "keep",
+        F.when(F.col("dup_of") >= 0, F.col("dup_of")).alias("dup_of"),
+    )

@@ -1,0 +1,100 @@
+"""Round-7 wave 131: SemDeDup-style semantic dedup (cluster-then-
+dedup-within-cluster, the published scale recipe for embedding-level
+near-dup removal) and its survivor statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+SEED = 42
+
+
+@register("q_llm_semdedup")  # rows-only: kmeans cluster ids are
+# engine-internal; exactness within clusters is pytest-verified
+# against the brute-force pair set (tests/test_ml.py)
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup over the embeddings corpus
+    (operators/similarity.py:semdedup): ~sqrt(n) KMeans clusters bound
+    the quadratic term to sum(|cluster|^2); within each cluster, exact
+    cosine >= 0.4 pairs fold under a local union-find and each dup
+    group keeps its minimum vec_id. One row per vector:
+    (vec_id, keep, dup_of).
+
+    Scale: the only driver state is the centroid matrix (~sqrt(n) x d);
+    vectors shuffle ONCE (by cluster); each task's matmul is ~sqrt(n)
+    x sqrt(n), streamed in 4096-row chunks. Cross-cluster dups are
+    deliberately traded away (the paper's recall/cost trade) — the
+    LSH-candidates path (q_llm_embed_cosine_dedup) is the recall-first
+    twin, and their survivor counts are cross-checked in pytest."""
+    from ..operators.similarity import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (semdedup(e, threshold=0.4, seed=SEED)
+            .select("vec_id", "keep", "dup_of")  # cluster ids are seed-internal
+            .orderBy("vec_id"))
+
+
+@register(
+    "q_llm_semdedup_stats",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0.4),
+    nodes AS (
+        SELECT vec_a AS v FROM pairs UNION SELECT vec_b FROM pairs),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM embeddings)
+    SELECT n.total AS n_vectors,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_dup_pairs,
+           CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_in_dup_pairs,
+           ROUND((SELECT COUNT(*) FROM nodes) / CAST(n.total AS DOUBLE), 6)
+               AS dup_involvement_rate
+    FROM n
+    """,
+)
+def q_llm_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth statistics for the semantic-dedup family: exact
+    count of cosine>=0.4 pairs and the share of vectors involved —
+    the denominator every approximate dedup (SemDeDup clusters, LSH
+    buckets) is judged against. Exactly oracled (DuckDB computes the
+    same exact pair set).
+
+    Scale: this is the exact O(n^2)-shaped audit — at fixtures it runs
+    brute force through the SAME guarded operator family as
+    q_llm_cosine_topk (broadcast <=10^5 rows, sharded failover); at
+    100 TB you run it on a sample, never the corpus. Kept oracled
+    because the semantics, not the throughput, are the contract."""
+    from ..functions.vector import dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", dot("va", "vb"))
+        .filter(F.col("sim") >= 0.4)
+        .select("vec_a", "vec_b")
+    )
+    nodes = (pairs.select(F.col("vec_a").alias("v"))
+             .union(pairs.select(F.col("vec_b"))).distinct())
+    total = e.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        total.crossJoin(F.broadcast(
+            pairs.agg(F.count(F.lit(1)).alias("n_dup_pairs"))))
+        .crossJoin(F.broadcast(
+            nodes.agg(F.count(F.lit(1)).alias("n_in_dup_pairs"))))
+        .select(
+            "n_vectors", "n_dup_pairs", "n_in_dup_pairs",
+            F.round(F.col("n_in_dup_pairs")
+                    / F.col("n_vectors").cast("double"), 6)
+             .alias("dup_involvement_rate"),
+        )
+    )

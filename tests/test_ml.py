@@ -586,3 +586,57 @@ def test_kmeans_elbow_monotone_and_deterministic(spark, sf_dir):
     assert iner[0] > iner[-1]
     assert (got["silhouette"].between(-1, 1)).all()
     assert q(spark, sf_dir).toPandas().sort_values("k").equals(got)
+
+
+def test_semdedup_within_cluster_exactness(spark, sf_dir):
+    """SemDeDup invariants vs the brute-force cosine>=0.4 pair truth:
+    (a) one row per vector, keep XOR dup_of; (b) dup_of points at a
+    KEPT, SMALLER id; (c) a vector outside every true dup pair is
+    never dropped; (d) THE CONTRACT: every true pair whose two sides
+    landed in the SAME cluster is deduped (at most one keeper) — the
+    within-cluster pass is exact; only cross-cluster splits may
+    survive (the paper's documented recall/cost trade — this fixture
+    has no cosine>=0.8 pair, so dup groups are loose and splits are
+    expected)."""
+    from pyspark.sql import functions as F
+
+    from sparkit_learn_spark.catalog import load_table
+    from sparkit_learn_spark.functions.vector import dot
+    from sparkit_learn_spark.operators.similarity import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = semdedup(e, threshold=0.4, seed=42).toPandas()
+    assert len(out) == e.count()
+    assert out["vec_id"].is_unique
+    kept = set(out.loc[out["keep"], "vec_id"])
+    dropped = out[~out["keep"]]
+    assert out.loc[out["keep"], "dup_of"].isna().all()
+    assert dropped["dup_of"].notna().all()
+    assert (dropped["dup_of"] < dropped["vec_id"]).all()
+    assert set(dropped["dup_of"]).issubset(kept)
+    # exact pair truth
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    truth = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .withColumn("sim", dot("ea", "eb"))
+        .filter(F.col("sim") >= 0.4)
+        .select("va", "vb")
+        .toPandas()
+    )
+    in_pair = set(truth["va"]) | set(truth["vb"])
+    # (c) never drop a vector with no true near-dup anywhere
+    assert not (set(dropped["vec_id"]) - in_pair)
+    # (d) same-cluster true pairs NEVER survive as two keepers
+    cl = dict(zip(out["vec_id"], out["cluster_id"]))
+    same_cluster = [
+        (r.va, r.vb) for r in truth.itertuples(index=False)
+        if cl[r.va] == cl[r.vb]
+    ]
+    assert same_cluster, "quantizer co-located no true pair — vacuous"
+    violations = [(x, y) for x, y in same_cluster
+                  if x in kept and y in kept]
+    assert not violations, f"same-cluster pairs both kept: {violations}"
+    # and at least one pair was actually deduped overall
+    assert any(x not in kept or y not in kept
+               for x, y in zip(truth["va"], truth["vb"]))
