@@ -65,36 +65,85 @@ def q_llm_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets) is judged against. Exactly oracled (DuckDB computes the
     same exact pair set).
 
-    Scale: this is the exact O(n^2)-shaped audit — at fixtures it runs
-    brute force through the SAME guarded operator family as
-    q_llm_cosine_topk (broadcast <=10^5 rows, sharded failover); at
-    100 TB you run it on a sample, never the corpus. Kept oracled
-    because the semantics, not the throughput, are the contract."""
+    Scale: exact O(n^2) math through the SAME broadcast-matrix BLAS
+    shape as q_llm_cosine_topk — one matmul per Arrow batch against
+    the broadcast candidate matrix, emitting only two per-batch
+    partial counts. (r7: the first version expressed the pair set as
+    a `vec_a < vec_b` theta join, which Spark planned as a
+    BroadcastNestedLoopJoin with a per-pair JVM array fold — 11x of
+    linear at sf1, the round's one measured cliff; this form is 0.1x.)
+    At 100 TB the audit runs on a sample, never the corpus."""
+    import numpy as np
+    import pandas as pd
+
     from ..functions.vector import dot
+    from ..operators.similarity import DEFAULT_MAX_BROADCAST_ROWS, _spread
 
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"),
-                 F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"),
-                 F.col("embedding").alias("vb"))
-    pairs = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", dot("va", "vb"))
-        .filter(F.col("sim") >= 0.4)
-        .select("vec_a", "vec_b")
-    )
-    nodes = (pairs.select(F.col("vec_a").alias("v"))
-             .union(pairs.select(F.col("vec_b"))).distinct())
-    total = e.agg(F.count(F.lit(1)).alias("n_vectors"))
-    return (
-        total.crossJoin(F.broadcast(
-            pairs.agg(F.count(F.lit(1)).alias("n_dup_pairs"))))
-        .crossJoin(F.broadcast(
-            nodes.agg(F.count(F.lit(1)).alias("n_in_dup_pairs"))))
-        .select(
-            "n_vectors", "n_dup_pairs", "n_in_dup_pairs",
-            F.round(F.col("n_in_dup_pairs")
-                    / F.col("n_vectors").cast("double"), 6)
-             .alias("dup_involvement_rate"),
+    # bounded-scan broadcast guard (same contract as cosine_topk):
+    # above the cap fall back to the distributed exact pair join —
+    # slower but never a driver-sized collect
+    if (e.limit(DEFAULT_MAX_BROADCAST_ROWS + 1).count()
+            > DEFAULT_MAX_BROADCAST_ROWS):
+        a = e.select(F.col("vec_id").alias("vec_a"),
+                     F.col("embedding").alias("va"))
+        b = e.select(F.col("vec_id").alias("vec_b"),
+                     F.col("embedding").alias("vb"))
+        pairs = (
+            a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .withColumn("sim", dot("va", "vb"))
+            .filter(F.col("sim") >= 0.4)
+            .select("vec_a", "vec_b")
         )
+        nodes = (pairs.select(F.col("vec_a").alias("v"))
+                 .union(pairs.select(F.col("vec_b"))).distinct())
+        total = e.agg(F.count(F.lit(1)).alias("n_vectors"))
+        return (
+            total.crossJoin(F.broadcast(
+                pairs.agg(F.count(F.lit(1)).alias("n_dup_pairs"))))
+            .crossJoin(F.broadcast(
+                nodes.agg(F.count(F.lit(1)).alias("n_in_dup_pairs"))))
+            .select(
+                "n_vectors", "n_dup_pairs", "n_in_dup_pairs",
+                F.round(F.col("n_in_dup_pairs")
+                        / F.col("n_vectors").cast("double"), 6)
+                 .alias("dup_involvement_rate"),
+            )
+        )
+    cand = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
+    C = np.array([np.asarray(r["embedding"], np.float64) for r in cand])
+    sc = spark.sparkContext
+    b_ids, b_C = sc.broadcast(ids), sc.broadcast(C)
+
+    def partials(batches):
+        cn, cm = b_ids.value, b_C.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, np.float64) for v in pdf["embedding"]])
+            qid = pdf["vec_id"].to_numpy()
+            S = X @ cm.T
+            hit = S >= 0.4
+            # pair count at (a < b) grain: neighbors with larger id
+            n_pairs = int((hit & (cn[None, :] > qid[:, None])).sum())
+            # involvement: any >=0.4 neighbor other than self
+            inv = (hit & (cn[None, :] != qid[:, None])).any(1)
+            yield pd.DataFrame({"n_pairs": [n_pairs],
+                                "n_involved": [int(inv.sum())],
+                                "n_rows": [len(qid)]})
+
+    agg = (
+        _spread(e.select("vec_id", "embedding"))
+        .mapInPandas(partials,
+                     schema="n_pairs long, n_involved long, n_rows long")
+        .agg(F.sum("n_pairs").alias("n_dup_pairs"),
+             F.sum("n_involved").alias("n_in_dup_pairs"),
+             F.sum("n_rows").alias("n_vectors"))
+    )
+    return agg.select(
+        "n_vectors", "n_dup_pairs", "n_in_dup_pairs",
+        F.round(F.col("n_in_dup_pairs")
+                / F.col("n_vectors").cast("double"), 6)
+         .alias("dup_involvement_rate"),
     )
