@@ -147,3 +147,126 @@ def q_llm_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_vectors").cast("double"), 6)
          .alias("dup_involvement_rate"),
     )
+
+
+@register(
+    "q_llm_sq8_quantize",
+    oracle="""
+    WITH dims AS (
+        SELECT CAST(u.i - 1 AS BIGINT) AS dim,
+               CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS val
+        FROM embeddings,
+             unnest(range(1, len(embedding) + 1)) AS u(i)),
+    rng AS (
+        SELECT dim, MIN(val) AS mn, MAX(val) AS mx
+        FROM dims GROUP BY dim),
+    coded AS (
+        SELECT d.dim, d.val, r.mn, r.mx,
+               LEAST(255, GREATEST(0,
+                   FLOOR((d.val - r.mn) * 255.0 / (r.mx - r.mn) + 0.5)))
+                   AS code
+        FROM dims d JOIN rng r ON r.dim = d.dim)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           ROUND(mn, 6) AS dim_min,
+           ROUND(mx, 6) AS dim_max,
+           ROUND(AVG(ABS(mn + code * (mx - mn) / 255.0 - val)), 6)
+               AS mean_abs_err
+    FROM coded
+    GROUP BY dim, mn, mx
+    ORDER BY dim
+    """,
+)
+def q_llm_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (SQ8) of the embedding corpus — the
+    standard 4x storage compression for vector indexes (FAISS
+    ScalarQuantizer): per-dimension [min, max] learned from the
+    corpus, each value coded to floor((x-mn)*255/(mx-mn)+0.5), and
+    the per-dim mean absolute reconstruction error reported — the
+    audit that decides whether SQ8 (or PQ, its lossier sibling in
+    q_llm_ann_ivfpq) is safe for a given corpus. All math is IEEE
+    double + integer codes, so the oracle is exact.
+
+    Scale: two shuffles at (dim)-grain (range learn, error agg) over
+    the posexploded corpus; codes never materialize corpus-wide here
+    — storage writers stream them per batch. At 100 TB the range
+    statistics come from a sample; the error audit is the same plan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("dim", "val")
+    )
+    rng = dims.groupBy("dim").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    code = F.least(F.lit(255.0), F.greatest(F.lit(0.0), F.floor(
+        (F.col("val") - F.col("mn")) * 255.0
+        / (F.col("mx") - F.col("mn")) + 0.5)))
+    recon = F.col("mn") + code * (F.col("mx") - F.col("mn")) / 255.0
+    return (
+        dims.join(F.broadcast(rng), "dim")
+        .groupBy(F.col("dim").cast("long").alias("dim"),
+                 F.round("mn", 6).alias("dim_min"),
+                 F.round("mx", 6).alias("dim_max"))
+        .agg(F.round(F.avg(F.abs(recon - F.col("val"))), 6)
+             .alias("mean_abs_err"))
+        .orderBy("dim")
+    )
+
+
+@register("q_llm_semdedup_recall")  # rows-only: depends on kmeans cells
+def q_llm_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup recall audit: of the EXACT cosine>=0.4 pairs, how many
+    did cluster-bounded dedup actually fold (at most one side kept)?
+    The honest price tag of the cluster trade — read beside
+    q_llm_semdedup_stats (the denominator) and q_llm_embed_cosine_dedup
+    (the LSH recall-first alternative). One output row:
+    (n_true_pairs, n_deduped, recall).
+
+    Scale: truth pairs come from the same guarded broadcast-BLAS
+    sweep as q_llm_semdedup_stats; the join against keeper flags is
+    pair-grain. At 100 TB the audit runs on a sample."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import _spread, semdedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = e.select("vec_id", "embedding").collect()  # fixture-bounded audit
+    ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
+    C = np.array([np.asarray(r["embedding"], np.float64) for r in cand])
+    sc = spark.sparkContext
+    b_ids, b_C = sc.broadcast(ids), sc.broadcast(C)
+
+    def true_pairs(batches):
+        cn, cm = b_ids.value, b_C.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, np.float64) for v in pdf["embedding"]])
+            qid = pdf["vec_id"].to_numpy()
+            hit = (X @ cm.T >= 0.4) & (cn[None, :] > qid[:, None])
+            qi, cj = np.nonzero(hit)
+            yield pd.DataFrame({"vec_a": qid[qi], "vec_b": cn[cj]})
+
+    pairs = _spread(e.select("vec_id", "embedding")).mapInPandas(
+        true_pairs, schema="vec_a long, vec_b long"
+    )
+    keeps = semdedup(e, threshold=0.4, seed=SEED).select("vec_id", "keep")
+    ka = keeps.select(F.col("vec_id").alias("vec_a"),
+                      F.col("keep").alias("keep_a"))
+    kb = keeps.select(F.col("vec_id").alias("vec_b"),
+                      F.col("keep").alias("keep_b"))
+    return (
+        pairs.join(F.broadcast(ka), "vec_a").join(F.broadcast(kb), "vec_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum((~(F.col("keep_a") & F.col("keep_b"))).cast("long"))
+             .alias("n_deduped"),
+        )
+        .select(
+            "n_true_pairs", "n_deduped",
+            F.round(F.col("n_deduped")
+                    / F.col("n_true_pairs").cast("double"), 6)
+             .alias("recall"),
+        )
+    )

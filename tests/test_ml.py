@@ -640,3 +640,15 @@ def test_semdedup_within_cluster_exactness(spark, sf_dir):
     # and at least one pair was actually deduped overall
     assert any(x not in kept or y not in kept
                for x, y in zip(truth["va"], truth["vb"]))
+
+
+def test_semdedup_recall_audit_consistent(spark, sf_dir):
+    """q_llm_semdedup_recall's numbers must be internally consistent
+    and agree with q_llm_semdedup_stats' exact pair count."""
+    from sparkit_learn_spark.registry import all_queries
+
+    rec = all_queries()["q_llm_semdedup_recall"](spark, sf_dir).collect()[0]
+    stats = all_queries()["q_llm_semdedup_stats"](spark, sf_dir).collect()[0]
+    assert rec["n_true_pairs"] == stats["n_dup_pairs"]
+    assert 0 <= rec["n_deduped"] <= rec["n_true_pairs"]
+    assert abs(rec["recall"] - rec["n_deduped"] / rec["n_true_pairs"]) < 1e-6
