@@ -158,7 +158,19 @@ class SparkTfidfTransformer(SparkBaseEstimator):
 class SparkMultinomialNB(SparkBaseEstimator):
     """[ref: splearn SparkMultinomialNB · C:H] — MLlib NaiveBayes
     (multinomial) over a features vector column; sufficient statistics
-    merge distributedly exactly as the reference's reduce(add)."""
+    merge distributedly exactly as the reference's reduce(add).
+
+    ``partial_fit`` (r7) implements the reference's TRUE per-block
+    incremental contract: each call aggregates the batch's class and
+    feature counts distributedly (one bounded classes×dims collect)
+    and MERGES them into persistent driver state — NB's sufficient
+    statistics are exact under addition, so a partial_fit chain equals
+    one fit on the concatenation (asserted vs sklearn in
+    tests/test_estimators.py). After partial_fit, prediction scores
+    via a pure-JVM dot against the broadcast log-probability literals
+    (no MLlib model object needed)."""
+
+    _model_type = "multinomial"
 
     def __init__(self, alpha: float = 1.0, featuresCol: str = "features",
                  labelCol: str = "label"):
@@ -166,16 +178,94 @@ class SparkMultinomialNB(SparkBaseEstimator):
         self.featuresCol = featuresCol
         self.labelCol = labelCol
         self.model_ = None
+        self.class_count_: dict | None = None   # label -> n rows
+        self.feature_count_: dict | None = None  # label -> ndarray(d)
 
     def fit(self, df: DataFrame) -> "SparkMultinomialNB":
+        self.class_count_ = self.feature_count_ = None  # refit contract
         self.model_ = _NaiveBayes(
-            smoothing=self.alpha, modelType="multinomial",
+            smoothing=self.alpha, modelType=self._model_type,
             featuresCol=self.featuresCol, labelCol=self.labelCol,
         ).fit(df)
         return self
 
+    def partial_fit(self, df: DataFrame) -> "SparkMultinomialNB":
+        from pyspark.ml.functions import vector_to_array
+
+        if self.class_count_ is None:
+            self.class_count_, self.feature_count_ = {}, {}
+            self.model_ = None  # stats path takes over scoring
+        rows = (
+            df.select(F.col(self.labelCol).alias("_y"),
+                      vector_to_array(self.featuresCol).alias("_x"))
+            .select("_y", F.posexplode("_x").alias("_d", "_v"))
+            .groupBy("_y", "_d")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()  # bounded: classes × dims rows
+        )
+        if not rows:
+            raise ValueError("partial_fit called with an empty batch")
+        per_label_n: dict = {}
+        for r in rows:
+            y = r["_y"]
+            if y not in self.feature_count_:
+                d = 1 + max(rr["_d"] for rr in rows)
+                self.feature_count_[y] = np.zeros(d)
+                self.class_count_[y] = 0
+            self.feature_count_[y][r["_d"]] += r["_s"]
+            per_label_n[y] = r["_n"]  # same for every dim of the label
+        for y, n in per_label_n.items():
+            self.class_count_[y] += n
+        return self
+
+    @property
+    def class_log_prior_(self) -> dict:
+        tot = sum(self.class_count_.values())
+        return {y: float(np.log(n / tot)) for y, n in self.class_count_.items()}
+
+    @property
+    def feature_log_prob_(self) -> dict:
+        out = {}
+        for y, fc in self.feature_count_.items():
+            sm = fc + self.alpha
+            out[y] = np.log(sm / sm.sum())
+        return out
+
+    def _stats_score_exprs(self, arr):
+        """Per-class JVM log-likelihood expressions over an
+        array<double> column (multinomial: x · log θ + log prior)."""
+        exprs = {}
+        lp = self.class_log_prior_
+        for y, logtheta in self.feature_log_prob_.items():
+            wlit = F.array(*[F.lit(float(v)) for v in logtheta])
+            exprs[y] = F.lit(lp[y]) + F.aggregate(
+                F.zip_with(arr, wlit, lambda x, w: x * w),
+                F.lit(0.0), lambda acc, v: acc + v)
+        return exprs
+
     def predict(self, df: DataFrame) -> DataFrame:
-        return self.model_.transform(df)
+        if self.model_ is not None:
+            return self.model_.transform(df)
+        if not self.class_count_:
+            raise RuntimeError("fit or partial_fit first")
+        from pyspark.ml.functions import vector_to_array
+
+        arr = vector_to_array(self.featuresCol)
+        scores = self._stats_score_exprs(arr)
+        # argmax with deterministic label-order tie-break
+        best = None
+        for y in sorted(scores):
+            cond = F.lit(True)
+            for z in sorted(scores):
+                if z == y:
+                    continue
+                cond = cond & (
+                    (scores[y] > scores[z])
+                    | ((scores[y] == scores[z]) & F.lit(y < z))
+                )
+            best = F.when(cond, F.lit(float(y))) if best is None \
+                else best.when(cond, F.lit(float(y)))
+        return df.withColumn("prediction", best)
 
     transform = predict
 
@@ -192,8 +282,56 @@ class SparkGaussianNB(SparkBaseEstimator):
         self.var_smoothing = var_smoothing
         self.stats_: DataFrame | None = None
         self.priors_: DataFrame | None = None
+        self._acc: dict | None = None  # label -> (n, sum(d), sumsq(d))
+
+    def partial_fit(self, df: DataFrame) -> "SparkGaussianNB":
+        """Per-block incremental fit (the reference's contract): each
+        batch contributes exact (n, Σx, Σx²) sufficient statistics per
+        (class, dim), merged additively into driver state — a
+        partial_fit chain equals one fit on the concatenation (up to
+        float summation order; asserted vs sklearn). stats_/priors_
+        are rebuilt as small local DataFrames after every call, so
+        predict() is identical for both fit paths."""
+        rows = (
+            df.select(F.col(self.labelCol).alias("_y"),
+                      F.posexplode(self.vecCol).alias("_d", "_v"))
+            .withColumn("_v", F.col("_v").cast("double"))
+            .groupBy("_y", "_d")
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s"),
+                 F.sum(F.col("_v") * F.col("_v")).alias("_s2"))
+            .collect()  # bounded: classes × dims
+        )
+        if not rows:
+            raise ValueError("partial_fit called with an empty batch")
+        if self._acc is None:
+            self._acc = {}
+        d = 1 + max(r["_d"] for r in rows)
+        for r in rows:
+            y = r["_y"]
+            if y not in self._acc:
+                self._acc[y] = [0, np.zeros(d), np.zeros(d)]
+            a = self._acc[y]
+            a[1][r["_d"]] += r["_s"]
+            a[2][r["_d"]] += r["_s2"]
+            if r["_d"] == 0:
+                a[0] += r["_n"]
+        spark = df.sparkSession
+        total = sum(a[0] for a in self._acc.values())
+        stat_rows, prior_rows = [], []
+        for y, (n, s, s2) in self._acc.items():
+            mu = s / n
+            var = s2 / n - mu * mu + self.var_smoothing
+            for dim in range(d):
+                stat_rows.append((float(y), dim, float(mu[dim]), float(var[dim])))
+            prior_rows.append((float(y), float(np.log(n / total))))
+        self.stats_ = spark.createDataFrame(
+            stat_rows, f"{self.labelCol} double, dim int, mu double, var double")
+        self.priors_ = spark.createDataFrame(
+            prior_rows, f"{self.labelCol} double, log_prior double")
+        return self
 
     def fit(self, df: DataFrame) -> "SparkGaussianNB":
+        self._acc = None  # refit contract: fit starts from scratch
         dims = df.select(
             self.labelCol, F.posexplode(self.vecCol).alias("dim", "val")
         ).withColumn("val", F.col("val").cast("double"))
@@ -499,8 +637,31 @@ class SparkStandardScaler(SparkBaseEstimator):
         self.outputCol = outputCol
         self.mean_: float | None = None
         self.std_: float | None = None
+        self._acc: list | None = None  # [n, sum, sumsq]
+
+    def partial_fit(self, df: DataFrame) -> "SparkStandardScaler":
+        """Per-block incremental fit: exact (n, Σx, Σx²) merge; the
+        chain equals one fit on the concatenation (sample stddev,
+        matching fit's stddev_samp)."""
+        row = df.agg(
+            F.count(self.inputCol).alias("n"),
+            F.sum(F.col(self.inputCol).cast("double")).alias("s"),
+            F.sum(F.col(self.inputCol).cast("double") ** 2).alias("s2"),
+        ).first()
+        if not row["n"]:
+            raise ValueError("partial_fit called with an empty batch")
+        if self._acc is None:
+            self._acc = [0, 0.0, 0.0]
+        self._acc[0] += row["n"]
+        self._acc[1] += row["s"]
+        self._acc[2] += row["s2"]
+        n, s, s2 = self._acc
+        self.mean_ = s / n
+        self.std_ = float(np.sqrt((s2 - s * s / n) / (n - 1))) if n > 1 else 0.0
+        return self
 
     def fit(self, df: DataFrame) -> "SparkStandardScaler":
+        self._acc = None  # refit contract
         row = df.agg(
             F.avg(self.inputCol).alias("mu"),
             F.stddev_samp(self.inputCol).alias("sigma"),
@@ -725,14 +886,33 @@ class SparkSGDClassifier(SparkBaseEstimator):
 class SparkBernoulliNB(SparkMultinomialNB):
     """[ref: splearn SparkBernoulliNB · C:M] — MLlib NaiveBayes with
     bernoulli model type (features must be binary; pair with
-    HashingTF(binary=True) or a binarized count vector)."""
+    HashingTF(binary=True) or a binarized count vector). Inherits the
+    r7 ``partial_fit`` sufficient-statistics contract; the stats
+    scoring uses the bernoulli likelihood (both presence AND absence
+    terms) with θ_c = (doc_count_c + α)/(n_c + 2α)."""
 
-    def fit(self, df: DataFrame) -> "SparkBernoulliNB":
-        self.model_ = _NaiveBayes(
-            smoothing=self.alpha, modelType="bernoulli",
-            featuresCol=self.featuresCol, labelCol=self.labelCol,
-        ).fit(df)
-        return self
+    _model_type = "bernoulli"
+
+    @property
+    def feature_log_prob_(self) -> dict:
+        out = {}
+        for y, fc in self.feature_count_.items():
+            theta = (fc + self.alpha) / (self.class_count_[y] + 2 * self.alpha)
+            out[y] = np.log(theta)
+        return out
+
+    def _stats_score_exprs(self, arr):
+        exprs = {}
+        lp = self.class_log_prior_
+        for y, fc in self.feature_count_.items():
+            theta = (fc + self.alpha) / (self.class_count_[y] + 2 * self.alpha)
+            w = np.log(theta) - np.log1p(-theta)  # per-dim presence weight
+            const = lp[y] + float(np.log1p(-theta).sum())
+            wlit = F.array(*[F.lit(float(v)) for v in w])
+            exprs[y] = F.lit(const) + F.aggregate(
+                F.zip_with(arr, wlit, lambda x, ww: x * ww),
+                F.lit(0.0), lambda acc, v: acc + v)
+        return exprs
 
 
 class SparkDictVectorizer(SparkBaseEstimator):

@@ -325,3 +325,119 @@ def test_refit_grid_search(vec_ab):
     assert got.keys() == exp.keys()
     for k in got:
         np.testing.assert_allclose(got[k], exp[k], rtol=1e-9)
+
+
+# ------------------------------------------------- partial_fit parity
+
+def test_multinomial_nb_partial_fit_matches_numpy(emb_ab):
+    """partial_fit(A) then partial_fit(B) must equal the numpy replica
+    of multinomial NB fit on A+B (sklearn's formulas: theta_c =
+    log((fc+alpha)/(sum fc+alpha*d)), prior = log(n_c/n)) — NB
+    sufficient stats are exact under addition."""
+    a, b = emb_ab
+    sa, sb = _nonneg(a), _nonneg(b)
+    nb = SparkMultinomialNB(alpha=1.0)
+    nb.partial_fit(sa).partial_fit(sb)
+    from pyspark.ml.functions import vector_to_array
+
+    def xy(df):
+        p = df.select(vector_to_array("features").alias("x"), "label").toPandas()
+        return (np.array([np.asarray(v) for v in p["x"]]),
+                p["label"].to_numpy())
+
+    Xa, ya = xy(sa)
+    Xb, yb = xy(sb)
+    X, y = np.vstack([Xa, Xb]), np.concatenate([ya, yb])
+    for cls in np.unique(y):
+        fc = X[y == cls].sum(0)
+        sm = fc + 1.0
+        np.testing.assert_allclose(
+            nb.feature_log_prob_[cls], np.log(sm / sm.sum()), rtol=1e-9)
+        np.testing.assert_allclose(
+            nb.class_log_prior_[cls],
+            np.log((y == cls).sum() / len(y)), rtol=1e-12)
+    # predictions: argmax of prior + x . log theta, numpy replica
+    classes = sorted(np.unique(y))
+    W = np.array([np.log((X[y == c].sum(0) + 1.0)
+                         / (X[y == c].sum(0) + 1.0).sum()) for c in classes])
+    pri = np.array([np.log((y == c).sum() / len(y)) for c in classes])
+    exp_pred = np.array(classes)[(Xb @ W.T + pri).argmax(1)]
+    pred = nb.predict(sb).select("vec_id", "prediction").toPandas()
+    ids = sb.select("vec_id").toPandas()["vec_id"].to_numpy()
+    got = pred.sort_values("vec_id")["prediction"].to_numpy()
+    agree = (got == exp_pred[np.argsort(ids)]).mean()
+    assert agree >= 0.98  # float-sum tie rows only
+
+
+def test_bernoulli_nb_partial_fit_matches_numpy(emb_ab):
+    """Bernoulli partial_fit chain vs the numpy replica (theta_c =
+    (doc_count+alpha)/(n_c+2alpha); likelihood uses presence AND
+    absence terms)."""
+    a, b = emb_ab
+
+    def binarize(e):
+        return e.select(
+            "vec_id",
+            array_to_vector(
+                F.transform(F.col("embedding"),
+                            lambda x: (x > 0).cast("double"))
+            ).alias("features"),
+            (F.col("label") < 5).cast("double").alias("label"),
+        )
+
+    sa, sb = binarize(a), binarize(b)
+    nb = SparkBernoulliNB(alpha=1.0)
+    nb.partial_fit(sa).partial_fit(sb)
+    from pyspark.ml.functions import vector_to_array
+
+    def xy(df):
+        p = df.select(vector_to_array("features").alias("x"), "label").toPandas()
+        return (np.array([np.asarray(v) for v in p["x"]]),
+                p["label"].to_numpy())
+
+    Xa, ya = xy(sa)
+    Xb, yb = xy(sb)
+    X, y = np.vstack([Xa, Xb]), np.concatenate([ya, yb])
+    classes = sorted(np.unique(y))
+    for cls in classes:
+        n_c = (y == cls).sum()
+        theta = (X[y == cls].sum(0) + 1.0) / (n_c + 2.0)
+        np.testing.assert_allclose(
+            nb.feature_log_prob_[cls], np.log(theta), rtol=1e-9)
+    # prediction replica
+    TH = np.array([(X[y == c].sum(0) + 1.0) / ((y == c).sum() + 2.0)
+                   for c in classes])
+    pri = np.array([np.log((y == c).sum() / len(y)) for c in classes])
+    LL = (Xb @ (np.log(TH) - np.log1p(-TH)).T
+          + np.log1p(-TH).sum(1)[None, :] + pri[None, :])
+    exp_pred = np.array(classes)[LL.argmax(1)]
+    pred = nb.predict(sb).select("vec_id", "prediction").toPandas()
+    ids = sb.select("vec_id").toPandas()["vec_id"].to_numpy()
+    got = pred.sort_values("vec_id")["prediction"].to_numpy()
+    assert (got == exp_pred[np.argsort(ids)]).mean() >= 0.98
+
+
+def test_gaussian_nb_partial_fit_matches_full_fit(emb_ab):
+    """partial_fit(A) + partial_fit(B) must equal fit(A union B) on
+    the learned per-class (mu, var) table — Gaussian sufficient stats
+    merge exactly; fit-vs-merged differ only in float summation
+    order."""
+    a, b = emb_ab
+    inc = SparkGaussianNB().partial_fit(a).partial_fit(b)
+    full = SparkGaussianNB().fit(a.unionAll(b))
+    gi = inc.stats_.toPandas().sort_values(["label", "dim"]).reset_index(drop=True)
+    gf = full.stats_.toPandas().sort_values(["label", "dim"]).reset_index(drop=True)
+    np.testing.assert_allclose(gi["mu"], gf["mu"], rtol=1e-9)
+    np.testing.assert_allclose(gi["var"], gf["var"], rtol=1e-6)
+    pi = inc.priors_.toPandas().sort_values("label")
+    pf = full.priors_.toPandas().sort_values("label")
+    np.testing.assert_allclose(pi["log_prior"], pf["log_prior"], rtol=1e-12)
+
+
+def test_standard_scaler_partial_fit_matches_full_fit(docs_ab):
+    a, b = docs_ab
+    inc = (SparkStandardScaler(inputCol="n_chars")
+           .partial_fit(a).partial_fit(b))
+    full = SparkStandardScaler(inputCol="n_chars").fit(a.unionAll(b))
+    np.testing.assert_allclose(inc.mean_, full.mean_, rtol=1e-12)
+    np.testing.assert_allclose(inc.std_, full.std_, rtol=1e-9)
