@@ -244,3 +244,53 @@ def q_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_dedup_batch(incoming, corpus_fps).select(
         "doc_id", "source", "ingest_ts", "fp"
     )
+
+
+@register(
+    "q_stream_session_dynamic",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN event_type = 'purchase'
+                    THEN INTERVAL 30 MINUTE
+                    ELSE INTERVAL 10 MINUTE END AS gap
+        FROM events),
+    marked AS (
+        SELECT user_id, ts, value, gap,
+               CASE WHEN ts > COALESCE(MAX(ts + gap) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING),
+                        TIMESTAMP '1900-01-01')
+                    THEN 1 ELSE 0 END AS is_start
+        FROM g),
+    sess AS (
+        SELECT user_id, ts, value, gap,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts + gap) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows (batch form of
+    streaming/transforms.session_counts_dynamic): each event extends
+    its session by an EVENT-DEPENDENT gap (purchase 30 min, else 10),
+    overlapping extents merging — Spark's expression-gap
+    session_window, the API real funnels need ("checkout keeps the
+    visit alive"). Oracled via the variable-extension islands
+    construction: a session starts where ts exceeds the running max
+    of every earlier event's ts+gap; session end = max(ts+gap).
+
+    Scale: one shuffle on user_id; per-key streaming state is the
+    open-session extent (native session-window merge), identical to
+    the fixed-gap entry."""
+    from ..streaming.transforms import session_counts_dynamic
+
+    return session_counts_dynamic(load_table(spark, sf_dir, "events"))

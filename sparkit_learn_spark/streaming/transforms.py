@@ -384,3 +384,31 @@ def neardup_dedup_batch(docs: DataFrame, corpus_fps: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def session_counts_dynamic(events: DataFrame) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (Spark's
+    expression-gap session_window): purchases hold the session open
+    30 minutes, everything else 10 — the "checkout keeps the visit
+    alive" sessionization real funnels use. An event at ts extends its
+    session to ts+gap(event); overlapping extents merge.
+
+    Streaming-native state merge; the batch oracle is the
+    variable-extension islands construction (running max of ts+gap)."""
+    # string gap column: session_window casts it to CalendarInterval
+    # (a DayTimeInterval literal is rejected — "must be
+    # CalendarIntervalType")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")) \
+           .otherwise(F.lit("10 minutes"))
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

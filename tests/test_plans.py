@@ -582,3 +582,14 @@ def test_lsh_bucket_stats_no_python_no_cartesian(spark, sf_dir):
     plan = explain_str(Q["q_llm_lsh_bucket_stats"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_topk_group_uses_window_group_limit(spark, sf_dir):
+    """rank<=k predicates over a window must trigger Spark's
+    WindowGroupLimit pushdown (partial per-partition top-k BEFORE the
+    shuffle) — without it every group's full row set shuffles to the
+    window sort, which is the difference between k rows and all rows
+    per group at 100 TB."""
+    df = Q["q_win_topk_group"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -45,6 +45,7 @@ def events_batch(spark, sf_dir):
         ("tumbling", T.tumbling_counts, True),
         ("sliding", T.sliding_counts, True),
         ("session", T.session_counts, True),
+        ("session_dynamic", T.session_counts_dynamic, True),
     ],
 )
 def test_windowed_parity(spark, events_stream, events_batch, tname, fn, needs_watermark):
