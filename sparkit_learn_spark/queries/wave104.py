@@ -82,8 +82,8 @@ def q_udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) / 1000.0, 6)
-               AS revenue_k
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS DOUBLE)
+                 / 1000.0, 6) AS revenue_k
     FROM orders
     GROUP BY ALL
     ORDER BY o_orderstatus, o_orderpriority
@@ -98,15 +98,23 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-checked, not just the result).
 
     Scale: resolves to a plain hash aggregate — sugar costs nothing;
-    included so the SQL-surface inventory can claim the syntax."""
+    included so the SQL-surface inventory can claim the syntax.
+
+    ANSI note (the r7 driver-red fix): under Spark 4's default ANSI
+    mode `BIGINT / 1000.0` promotes to DECIMAL(28,6) while DuckDB
+    yields DOUBLE — numerically identical values that hash differently
+    whenever a value carries trailing zeros at 6dp. The numerator is
+    therefore CAST to DOUBLE before the division in BOTH engines, and
+    testing.assert_driver_hashable now rejects Decimal cells outright
+    so the class cannot ship again."""
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("orders_gba")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n,
-               ROUND(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) / 1000.0, 6)
-                   AS revenue_k
+               ROUND(CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT))
+                          AS DOUBLE) / 1000.0, 6) AS revenue_k
         FROM orders_gba
         GROUP BY ALL
         ORDER BY o_orderstatus, o_orderpriority

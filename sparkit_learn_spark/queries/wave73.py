@@ -184,7 +184,9 @@ _SHAPLEY_SQL = """
         SELECT channel, CAST(SUM(t12) AS BIGINT) AS phi12
         FROM terms GROUP BY channel),
     tot AS (SELECT CAST(SUM(phi12) AS BIGINT) AS tphi12 FROM shap)
-    SELECT s.channel, ROUND(s.phi12 / 12.0 + 0.0, 6) AS shapley_value,
+    SELECT s.channel,
+           ROUND(CAST(s.phi12 AS DOUBLE) / 12.0 + 0.0, 6)
+               AS shapley_value,
            ROUND(s.phi12 / CAST(t.tphi12 AS DOUBLE) + 0.0, 6)
                AS shapley_share
     FROM shap s CROSS JOIN tot t

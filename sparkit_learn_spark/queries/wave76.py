@@ -308,7 +308,8 @@ _GTEST_SQL = """
     g AS (SELECT CAST(SUM(t_micro) AS BIGINT) AS g_micro,
                  CAST(COUNT(*) AS BIGINT) AS n_cells
           FROM terms)
-    SELECT ROUND(2.0 * g.g_micro / 1000000.0, 6) AS g_stat,
+    SELECT ROUND(2.0 * CAST(g.g_micro AS DOUBLE) / 1000000.0, 6)
+               AS g_stat,
            CAST((SELECT COUNT(*) FROM r) - 1 AS BIGINT)
            * CAST((SELECT COUNT(*) FROM c) - 1 AS BIGINT) AS df,
            g.n_cells,

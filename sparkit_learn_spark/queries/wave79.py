@@ -128,12 +128,12 @@ _MK_SQL = """
         FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
               FROM ser GROUP BY v HAVING COUNT(*) > 1))
     SELECT n.n AS n_days, s.s AS mk_s,
-           ROUND((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tc) / 18.0, 6)
-               AS var_s,
+           ROUND(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tc
+                      AS DOUBLE) / 18.0, 6) AS var_s,
            ROUND((s.s - CASE WHEN s.s > 0 THEN 1
                              WHEN s.s < 0 THEN -1 ELSE 0 END)
-                 / SQRT((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tc)
-                        / 18.0) + 0.0, 6) AS z_stat
+                 / SQRT(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tc
+                             AS DOUBLE) / 18.0) + 0.0, 6) AS z_stat
     FROM s CROSS JOIN n CROSS JOIN ties
 """
 

@@ -10,6 +10,7 @@ sorted-row string matrices and compared cell-for-cell.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import math
 from typing import Any
 
@@ -90,6 +91,16 @@ def assert_driver_hashable(pdf: pd.DataFrame, name: str = "") -> None:
     MORE permissive than the driver on exactly this axis. Now any
     complex cell is a hard local failure: oracled queries must emit
     primitive columns only (array_join collected arrays to strings).
+
+    DecimalType is rejected for the same reason (the r7
+    q_sql_group_by_all driver-red): under Spark 4 ANSI mode
+    ``BIGINT / 1000.0`` promotes to DECIMAL(28,6) while DuckDB returns
+    DOUBLE; the driver's canonicalizer hashes
+    ``Decimal('252916.181000')`` differently from float
+    ``252916.181`` exactly when trailing zeros appear at 6dp — a
+    data-dependent mismatch invisible to ``str()``-based comparison.
+    Oracled queries must CAST such expressions to DOUBLE in BOTH
+    engines before returning.
     """
     for c in pdf.columns:
         s = pdf[c]
@@ -101,6 +112,13 @@ def assert_driver_hashable(pdf: pd.DataFrame, name: str = "") -> None:
                     raise OracleMismatch(
                         f"{name}: column {c!r} holds {type(v).__name__} cells — "
                         "not driver-hashable; serialize (array_join) before returning"
+                    )
+                if isinstance(v, _decimal.Decimal):
+                    raise OracleMismatch(
+                        f"{name}: column {c!r} holds Decimal cells — the "
+                        "driver hashes Decimal differently from DOUBLE on "
+                        "trailing zeros (r7 q_sql_group_by_all); CAST the "
+                        "expression to DOUBLE in both engines"
                     )
                 break  # first non-null cell decides the column
 

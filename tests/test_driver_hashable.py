@@ -19,6 +19,7 @@ from pyspark.sql import types as T
 from sparkit_learn_spark.registry import all_oracles, all_queries
 
 ORACLED = sorted(all_oracles())
+ALL_REGISTERED = sorted(all_queries())
 
 COMPLEX = (T.ArrayType, T.MapType, T.StructType)
 
@@ -31,4 +32,24 @@ def test_primitive_only_schema(spark, sf_dir, name):
     assert not bad, (
         f"{name} returns non-driver-hashable column(s) {bad}; "
         "serialize (array_join / to_json) before returning"
+    )
+
+
+@pytest.mark.parametrize("name", ALL_REGISTERED)
+def test_no_decimal_schema(spark, sf_dir, name):
+    """DecimalType result columns are forbidden in oracled queries —
+    the r7 q_sql_group_by_all driver-red: Spark-4 ANSI promotes
+    ``BIGINT / 1000.0`` to DECIMAL(28,6) while DuckDB returns DOUBLE,
+    and the driver's hash distinguishes ``Decimal('x.181000')`` from
+    float ``x.181`` exactly when trailing zeros land at 6dp. Values
+    that pass today can flip red on any data/SF change. CAST to
+    DOUBLE in BOTH engines instead."""
+    df = all_queries()[name](spark, sf_dir)
+    bad = [f"{f.name}:{f.dataType.simpleString()}"
+           for f in df.schema.fields
+           if isinstance(f.dataType, T.DecimalType)]
+    assert not bad, (
+        f"{name} returns DECIMAL column(s) {bad} — data-dependent "
+        "driver hash hazard (ANSI int/decimal-literal promotion); "
+        "CAST(... AS DOUBLE) in both the Spark SQL and the oracle"
     )
