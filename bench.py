@@ -251,9 +251,28 @@ def main() -> None:
     # don't clobber the baseline.
     if os.environ.get("SPARK_GRAFT_BENCH_PERSIST", "1") == "1" and sf == "0.1":
         here = os.path.dirname(os.path.abspath(__file__))
+        # Stamp WHICH round produced these numbers so next round's
+        # regression gate can report a real baseline_round instead of
+        # -1 (VERDICT r7 item 6). The round being benched is one past
+        # the newest driver-recorded BENCH_r{N}.json on disk.
+        out["written_at_round"] = _newest_driver_round() + 1
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
             json.dump(out, f, indent=1)
     spark.stop()
+
+
+def _newest_driver_round() -> int:
+    """Highest N among BENCH_r{N}.json files (0 if none)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [0]
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds)
 
 
 def _load_baseline() -> dict | None:
@@ -291,7 +310,9 @@ def _load_baseline() -> dict | None:
         except (OSError, json.JSONDecodeError):
             queries = {}
         if queries:
-            best = {**queries, "_round": -1}  # -1 = local persisted run
+            # written_at_round stamps which round's bench produced the
+            # file; -1 only for pre-r8 files that predate the stamp
+            best = {**queries, "_round": local.get("written_at_round", -1)}
     return best
 
 

@@ -193,6 +193,16 @@ class SparkMultinomialNB(SparkBaseEstimator):
         from pyspark.ml.functions import vector_to_array
 
         if self.class_count_ is None:
+            if self.model_ is not None:
+                # fit() trained an MLlib model but kept no sufficient
+                # statistics (the sparse-aware path); continuing from
+                # it would silently discard fit's data (ADVICE r7).
+                raise RuntimeError(
+                    "partial_fit after fit() is not supported: fit() "
+                    "keeps no mergeable sufficient statistics. Train "
+                    "incrementally with partial_fit from the start, or "
+                    "call fit() on the full data."
+                )
             self.class_count_, self.feature_count_ = {}, {}
             self.model_ = None  # stats path takes over scoring
         rows = (
@@ -306,6 +316,17 @@ class SparkGaussianNB(SparkBaseEstimator):
         if self._acc is None:
             self._acc = {}
         d = 1 + max(r["_d"] for r in rows)
+        if self._acc:
+            # every batch must match the accumulated dimensionality —
+            # a narrower batch would silently truncate accumulated
+            # dims and a wider one would IndexError mid-merge (ADVICE
+            # r7); fail loudly before touching state
+            d_acc = len(next(iter(self._acc.values()))[1])
+            if d != d_acc:
+                raise ValueError(
+                    f"partial_fit batch dimensionality {d} != "
+                    f"accumulated {d_acc}"
+                )
         for r in rows:
             y = r["_y"]
             if y not in self._acc:
@@ -321,7 +342,7 @@ class SparkGaussianNB(SparkBaseEstimator):
         for y, (n, s, s2) in self._acc.items():
             mu = s / n
             var = s2 / n - mu * mu + self.var_smoothing
-            for dim in range(d):
+            for dim in range(len(s)):
                 stat_rows.append((float(y), dim, float(mu[dim]), float(var[dim])))
             prior_rows.append((float(y), float(np.log(n / total))))
         self.stats_ = spark.createDataFrame(
@@ -657,7 +678,13 @@ class SparkStandardScaler(SparkBaseEstimator):
         self._acc[2] += row["s2"]
         n, s, s2 = self._acc
         self.mean_ = s / n
-        self.std_ = float(np.sqrt((s2 - s * s / n) / (n - 1))) if n > 1 else 0.0
+        # n == 1: sample stddev is undefined — NaN, matching fit's
+        # stddev_samp (NULL) semantics, not 0.0 (ADVICE r7: the two
+        # paths must agree and transform must not divide by zero)
+        self.std_ = (
+            float(np.sqrt((s2 - s * s / n) / (n - 1))) if n > 1
+            else float("nan")
+        )
         return self
 
     def fit(self, df: DataFrame) -> "SparkStandardScaler":
@@ -666,7 +693,8 @@ class SparkStandardScaler(SparkBaseEstimator):
             F.avg(self.inputCol).alias("mu"),
             F.stddev_samp(self.inputCol).alias("sigma"),
         ).first()
-        self.mean_, self.std_ = float(row["mu"]), float(row["sigma"])
+        self.mean_ = float(row["mu"])
+        self.std_ = float(row["sigma"]) if row["sigma"] is not None else float("nan")
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:

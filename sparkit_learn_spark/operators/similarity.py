@@ -875,6 +875,11 @@ def semdedup(emb: DataFrame, *, n_clusters: int | None = None,
         pdf = pdf.sort_values("vid").reset_index(drop=True)
         ids = pdf["vid"].to_numpy()
         X = np.array([np.asarray(x, np.float64) for x in pdf["v"]])
+        # normalize so the threshold is TRUE cosine even for
+        # non-unit-norm inputs (ADVICE r7: the raw dot equalled cosine
+        # only under the fixture's unit-vector convention)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X / np.maximum(norms, 1e-12)
         n = len(ids)
         parent = np.arange(n)
 

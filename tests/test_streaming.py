@@ -546,8 +546,20 @@ def test_neardup_dedup_stream_matches_batch(spark, sf_dir):
     newdocs_stream = read_documents_stream(spark, sf_dir).filter(
         F.col("doc_id") >= median
     )
+    # full-input parity needs the dedup horizon to cover the fixture's
+    # max intra-fingerprint ingest_ts spread (ADVICE r7): derive it
+    # instead of assuming the 1 h default happens to be wide enough
+    spread_s = (
+        batch.filter(F.col("doc_id") >= median)
+        .select(T.neardup_fingerprint(F.col("text")).alias("fp"), "ingest_ts")
+        .groupBy("fp")
+        .agg((F.unix_timestamp(F.max("ingest_ts"))
+              - F.unix_timestamp(F.min("ingest_ts"))).alias("spread"))
+        .agg(F.max("spread")).first()[0]
+    )
+    horizon = f"{int(spread_s) + 60} seconds"
     q = (
-        T.neardup_dedup_stream(newdocs_stream, corpus_fps)
+        T.neardup_dedup_stream(newdocs_stream, corpus_fps, horizon=horizon)
         .writeStream.format("memory")
         .queryName("neardup_dedup_mem")
         .outputMode("append")
