@@ -448,26 +448,159 @@ class SparkLinearSVC(_MllibWrapper):
 
 class SparkKMeans(SparkBaseEstimator):
     """[ref: splearn SparkKMeans · C:H] — delegates to MLlib KMeans
-    (k-means‖ init), as the reference did."""
+    (k-means‖ init), as the reference did.
+
+    ``partial_fit`` (r8) adds the mini-batch incremental contract in
+    MLlib StreamingKMeans style (decay 1.0, i.e. pure cumulative):
+    each batch is assigned to the nearest current centers in ONE
+    distributed pass (per-cluster count + per-dim sum, collected at
+    the bounded k×d grain), then centers move to the weighted mean
+    c' = (c·n_old + Σx_batch) / (n_old + n_batch). A partial_fit
+    chain is deterministic given the init centers and is asserted
+    equal to a numpy replica of the same updates in
+    tests/test_refit_parity.py. Continuation AFTER fit() is supported:
+    MLlib's training summary provides the per-cluster sizes that seed
+    the incremental counts."""
 
     def __init__(self, n_clusters: int = 8, seed: int = 42,
-                 featuresCol: str = "features"):
+                 featuresCol: str = "features",
+                 init_centers: "np.ndarray | None" = None):
         self.n_clusters = n_clusters
         self.seed = seed
         self.featuresCol = featuresCol
         self.model_ = None
+        self.centers_: np.ndarray | None = (
+            None if init_centers is None
+            # np.array (not asarray): always copy, so in-place center
+            # updates never mutate the caller's array
+            else np.array(init_centers, dtype=np.float64)
+        )
+        self.counts_: np.ndarray | None = (
+            None if init_centers is None
+            else np.zeros(len(init_centers), dtype=np.int64)
+        )
 
     def fit(self, df: DataFrame) -> "SparkKMeans":
+        self.centers_ = self.counts_ = None  # refit contract
         self.model_ = _KMeans(
             k=self.n_clusters, seed=self.seed, featuresCol=self.featuresCol
         ).fit(df)
         return self
 
+    def _batch_stats(self, df: DataFrame) -> list:
+        """One distributed pass: nearest-center assignment + per-
+        cluster sufficient stats, reduced to k×(d+1) rows."""
+        import pandas as pd
+        from pyspark.ml.functions import vector_to_array
+
+        b_centers = df.sparkSession.sparkContext.broadcast(self.centers_)
+
+        def stats(batches):
+            C = b_centers.value
+            c2 = (C ** 2).sum(1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array([np.asarray(v, np.float64) for v in pdf["_x"]])
+                lab = (-2.0 * (X @ C.T) + c2[None, :]).argmin(1)
+                rows = []
+                for cid in np.unique(lab):
+                    sel = X[lab == cid]
+                    rows.append((int(cid), -1, float(len(sel))))
+                    for dim, s in enumerate(sel.sum(0)):
+                        rows.append((int(cid), dim, float(s)))
+                yield pd.DataFrame(rows, columns=["cid", "dim", "s"])
+
+        arr = df.select(vector_to_array(self.featuresCol).alias("_x"))
+        return (
+            arr.mapInPandas(stats, schema="cid int, dim int, s double")
+            .groupBy("cid", "dim").agg(F.sum("s").alias("s"))
+            .collect()  # bounded: k × (d+1)
+        )
+
+    def partial_fit(self, df: DataFrame) -> "SparkKMeans":
+        if self.centers_ is None:
+            if self.model_ is not None:
+                # continue from fit(): centers + summary cluster sizes
+                self.centers_ = np.array(self.model_.clusterCenters())
+                self.counts_ = np.array(
+                    self.model_.summary.clusterSizes, dtype=np.int64
+                )
+                self.model_ = None  # incremental path takes over
+            else:
+                self._init_centers(df)
+        rows = self._batch_stats(df)
+        if not rows:
+            raise ValueError("partial_fit called with an empty batch")
+        k, d = self.centers_.shape
+        n_new = np.zeros(k)
+        s_new = np.zeros((k, d))
+        for r in rows:
+            if r["dim"] == -1:
+                n_new[r["cid"]] = r["s"]
+            else:
+                s_new[r["cid"], r["dim"]] = r["s"]
+        moved = n_new > 0
+        tot = self.counts_ + n_new
+        self.centers_[moved] = (
+            self.centers_[moved] * self.counts_[moved, None]
+            + s_new[moved]
+        ) / tot[moved, None]
+        self.counts_ = tot.astype(np.int64)
+        return self
+
+    def _init_centers(self, df: DataFrame) -> None:
+        """Seeded k-means++ on a bounded driver-side sample of the
+        first batch (the same bounded-sample discipline as the IVF
+        coarse quantizer — driver state stays O(k·d))."""
+        from pyspark.ml.functions import vector_to_array
+
+        sample = (
+            df.select(vector_to_array(self.featuresCol).alias("_x"))
+            .limit(4096).toPandas()["_x"]
+        )
+        X = np.array([np.asarray(v, np.float64) for v in sample])
+        rng = np.random.RandomState(self.seed)
+        k = self.n_clusters
+        centers = [X[rng.randint(len(X))]]
+        for _ in range(1, k):
+            d2 = np.min(
+                [((X - c) ** 2).sum(1) for c in centers], axis=0
+            )
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            centers.append(X[rng.choice(len(X), p=p)])
+        self.centers_ = np.array(centers)
+        self.counts_ = np.zeros(k, dtype=np.int64)
+
     def predict(self, df: DataFrame) -> DataFrame:
-        return self.model_.transform(df)
+        if self.model_ is not None:
+            return self.model_.transform(df)
+        if self.centers_ is None:
+            raise RuntimeError("fit or partial_fit first")
+        from pyspark.ml.functions import vector_to_array
+        from pyspark.sql.functions import pandas_udf
+
+        b_centers = df.sparkSession.sparkContext.broadcast(self.centers_)
+
+        @pandas_udf("int")
+        def nearest(s):
+            import pandas as pd
+            C = b_centers.value
+            c2 = (C ** 2).sum(1)
+            X = np.array([np.asarray(v, np.float64) for v in s])
+            if len(X) == 0:
+                return pd.Series([], dtype="int32")
+            lab = (-2.0 * (X @ C.T) + c2[None, :]).argmin(1)
+            return pd.Series(lab.astype("int32"))
+
+        return df.withColumn(
+            "prediction", nearest(vector_to_array(self.featuresCol))
+        )
 
     @property
     def cluster_centers_(self) -> np.ndarray:
+        if self.centers_ is not None:
+            return self.centers_
         return np.array(self.model_.clusterCenters())
 
 
@@ -625,17 +758,61 @@ class SparkPCA(SparkBaseEstimator):
 
 class SparkVarianceThreshold(SparkBaseEstimator):
     """[ref: splearn SparkVarianceThreshold · C:M] — per-dim variance
-    in one aggregate; keeps dims with var > threshold."""
+    in one aggregate; keeps dims with var > threshold.
+
+    ``partial_fit`` (r8) implements the reference's per-block
+    incremental contract: each batch contributes exact per-dim
+    (n, Σx, Σx²) sufficient statistics, merged additively into driver
+    state (bounded by d), so a partial_fit chain equals one fit on the
+    concatenation — sample variance, matching fit's var_samp
+    (asserted in tests/test_refit_parity.py)."""
 
     def __init__(self, threshold: float = 0.0, vecCol: str = "embedding"):
         self.threshold = threshold
         self.vecCol = vecCol
         self.variances_: DataFrame | None = None
+        self._acc: list | None = None  # [n, sum(d), sumsq(d)]
 
     def fit(self, df: DataFrame) -> "SparkVarianceThreshold":
+        self._acc = None  # refit contract
         dims = df.select(F.posexplode(self.vecCol).alias("dim", "val"))
         self.variances_ = dims.groupBy("dim").agg(
             F.var_samp(F.col("val").cast("double")).alias("var")
+        )
+        return self
+
+    def partial_fit(self, df: DataFrame) -> "SparkVarianceThreshold":
+        rows = (
+            df.select(F.posexplode(self.vecCol).alias("_d", "_v"))
+            .withColumn("_v", F.col("_v").cast("double"))
+            .groupBy("_d")
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s"),
+                 F.sum(F.col("_v") * F.col("_v")).alias("_s2"))
+            .collect()  # bounded: d rows
+        )
+        if not rows:
+            raise ValueError("partial_fit called with an empty batch")
+        d = 1 + max(r["_d"] for r in rows)
+        if self._acc is None:
+            if self.variances_ is not None:
+                raise RuntimeError(
+                    "partial_fit after fit() is not supported: fit() "
+                    "keeps no mergeable sufficient statistics"
+                )
+            self._acc = [0, np.zeros(d), np.zeros(d)]
+        if len(self._acc[1]) != d:
+            raise ValueError(
+                f"partial_fit batch dimensionality {d} != "
+                f"accumulated {len(self._acc[1])}"
+            )
+        for r in rows:
+            self._acc[1][r["_d"]] += r["_s"]
+            self._acc[2][r["_d"]] += r["_s2"]
+        self._acc[0] += rows[0]["_n"]  # every dim sees every row
+        n, s, s2 = self._acc
+        var = (s2 - s * s / n) / (n - 1) if n > 1 else np.full(d, np.nan)
+        self.variances_ = df.sparkSession.createDataFrame(
+            [(i, float(var[i])) for i in range(d)], "dim int, var double"
         )
         return self
 

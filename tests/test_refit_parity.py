@@ -441,3 +441,117 @@ def test_standard_scaler_partial_fit_matches_full_fit(docs_ab):
     full = SparkStandardScaler(inputCol="n_chars").fit(a.unionAll(b))
     np.testing.assert_allclose(inc.mean_, full.mean_, rtol=1e-12)
     np.testing.assert_allclose(inc.std_, full.std_, rtol=1e-9)
+
+
+def test_variance_threshold_partial_fit_matches_full_fit(emb_ab):
+    """partial_fit(A) then partial_fit(B) must equal fit(A+B): the
+    per-dim (n, sumx, sumxsq) sufficient statistics are exact under
+    addition, so the chained sample variances match var_samp on the
+    concatenation to float tolerance."""
+    a, b = emb_ab
+    inc = (SparkVarianceThreshold(threshold=0.001)
+           .partial_fit(a).partial_fit(b))
+    full = SparkVarianceThreshold(threshold=0.001).fit(a.unionAll(b))
+    vi = inc.variances_.toPandas().sort_values("dim")
+    vf = full.variances_.toPandas().sort_values("dim")
+    np.testing.assert_allclose(vi["var"], vf["var"], rtol=1e-9)
+    assert inc.get_support() == full.get_support()
+
+
+def test_variance_threshold_partial_fit_after_fit_raises(emb_ab):
+    a, b = emb_ab
+    vt = SparkVarianceThreshold().fit(a)
+    with pytest.raises(RuntimeError, match="partial_fit after fit"):
+        vt.partial_fit(b)
+
+
+def test_nb_partial_fit_after_fit_raises(emb_ab):
+    """fit() trains sparse-aware MLlib NB without mergeable stats, so
+    a subsequent partial_fit would silently train on the new batch
+    only (ADVICE r7) — it must raise instead."""
+    a, b = emb_ab
+    sa, sb = _nonneg(a), _nonneg(b)
+    nb = SparkMultinomialNB().fit(sa)
+    with pytest.raises(RuntimeError, match="partial_fit after fit"):
+        nb.partial_fit(sb)
+
+
+def test_gaussian_nb_partial_fit_dim_mismatch_raises(emb_ab):
+    a, b = emb_ab
+    g = SparkGaussianNB()
+    g.partial_fit(a)
+    narrower = b.withColumn("embedding", F.slice("embedding", 1, 4))
+    with pytest.raises(ValueError, match="dimensionality"):
+        g.partial_fit(narrower)
+
+
+def test_kmeans_partial_fit_matches_numpy_replica(vec_ab):
+    """Mini-batch KMeans: a partial_fit chain from explicit init
+    centers must match the numpy replica of the same streaming
+    updates (assign to nearest center via the identical
+    -2XC^T + |c|^2 argmin, then c' = (c*n_old + sum_batch)/(n_old +
+    n_batch)) — deterministic given the init."""
+    from pyspark.ml.functions import vector_to_array
+
+    a, b = vec_ab
+
+    def xmat(df):
+        p = df.select(vector_to_array("features").alias("x"),
+                      "vec_id").toPandas().sort_values("vec_id")
+        return np.array([np.asarray(v, np.float64) for v in p["x"]])
+
+    Xa, Xb = xmat(a), xmat(b)
+    k = 4
+    init = Xa[:k].copy()  # explicit init: the replica's starting point
+
+    km = SparkKMeans(n_clusters=k, init_centers=init)
+    km.partial_fit(a).partial_fit(b)
+
+    C = init.copy()
+    n = np.zeros(k)
+    for X in (Xa, Xb):
+        c2 = (C ** 2).sum(1)
+        lab = (-2.0 * (X @ C.T) + c2[None, :]).argmin(1)
+        for cid in range(k):
+            sel = X[lab == cid]
+            if len(sel):
+                C[cid] = (C[cid] * n[cid] + sel.sum(0)) / (n[cid] + len(sel))
+                n[cid] += len(sel)
+    np.testing.assert_allclose(km.centers_, C, rtol=1e-9)
+    np.testing.assert_allclose(km.counts_, n)
+
+    # predict agrees with the replica's nearest-center assignment
+    c2 = (C ** 2).sum(1)
+    exp = (-2.0 * (Xb @ C.T) + c2[None, :]).argmin(1)
+    got = (km.predict(b).select("vec_id", "prediction").toPandas()
+           .sort_values("vec_id")["prediction"].to_numpy())
+    assert (got == exp).mean() >= 0.99  # float-tie rows only
+
+
+def test_kmeans_partial_fit_continues_from_fit(vec_ab):
+    """fit() then partial_fit(B): MLlib's training summary provides
+    per-cluster sizes, so the incremental update continues from fit's
+    centers with correct weighting — asserted against the numpy
+    replica seeded from the fitted state."""
+    from pyspark.ml.functions import vector_to_array
+
+    a, b = vec_ab
+    km = SparkKMeans(n_clusters=4, seed=7).fit(a)
+    C0 = np.array(km.model_.clusterCenters())
+    n0 = np.array(km.model_.summary.clusterSizes, dtype=np.float64)
+    km.partial_fit(b)
+
+    p = b.select(vector_to_array("features").alias("x"),
+                 "vec_id").toPandas().sort_values("vec_id")
+    Xb = np.array([np.asarray(v, np.float64) for v in p["x"]])
+    C = C0.copy()
+    n = n0.copy()
+    c2 = (C ** 2).sum(1)
+    lab = (-2.0 * (Xb @ C.T) + c2[None, :]).argmin(1)
+    for cid in range(4):
+        sel = Xb[lab == cid]
+        if len(sel):
+            C[cid] = (C[cid] * n[cid] + sel.sum(0)) / (n[cid] + len(sel))
+            n[cid] += len(sel)
+    np.testing.assert_allclose(km.centers_, C, rtol=1e-9)
+    np.testing.assert_allclose(km.counts_, n)
