@@ -212,37 +212,128 @@ def cosine_topk_sharded(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
 def ann_lsh_neighbors(emb: DataFrame, *, radius: float = 1.0,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       bucket_length: float = 0.5, num_hash_tables: int = 4,
-                      seed: int = 42, k: int | None = None) -> DataFrame:
+                      seed: int = 42, k: int | None = None,
+                      bucket_cap: int = 512) -> DataFrame:
     """Approximate neighbor pairs within a euclidean radius:
     (vec_id_a, vec_id_b, dist). Candidates come from LSH buckets, not
     the cross product.
 
-    ``k`` bounds the OUTPUT to the k nearest per probe (ties broken
-    on neighbor id): without it the radius join's row count tracks
-    true neighbor density, which the dup-amplified sf1 fixture grows
-    superlinearly (the one 1.87×-of-linear entry in the r6 scale
-    sweeps). With ``k`` the output is ≤ k·n — the same contract IVF
-    top-k keeps — while recall semantics within the radius are
-    unchanged for the k nearest."""
-    vec = emb.select(
+    Hand-rolled random-projection LSH (r8) replacing MLlib's
+    ``approxSimilarityJoin``: the MLlib join enumerates EVERY
+    bucket-coincident pair before the distance filter, so its work
+    tracks true neighbor density — the one registry entry the r7 sf10
+    probe had to ABORT (>7.7× of linear on the dup-amplified fixture).
+    This version bounds the work structurally:
+
+      1. per table t: bucket = floor(v · r_t / bucket_length) with
+         unit-gaussian r_t (the BucketedRandomProjectionLSH hash
+         family, seeded);
+      2. the CANDIDATE side of each (table, bucket) is capped at
+         ``bucket_cap`` members (deterministic: lowest vec_id —
+         the viral-bucket cap discipline of q_llm_ngram_jaccard's
+         df cap), so distance computations are ≤ tables·cap·n
+         regardless of how dense a bucket gets; probes are never
+         dropped, only their candidate fan-in is bounded.
+         ``bucket_cap=None`` disables the cap for callers whose
+         correctness needs FULL in-bucket enumeration (the
+         embed-cosine dedup's recall-1.0 contract) — then the work is
+         Σ|bucket|² BLAS FLOPs, quadratic in the densest bucket, and
+         the caller owns that trade;
+      3. pairs dedup across tables via min(dist) group, then the
+         radius filter and the ``k``-nearest-per-probe cap.
+
+    Recall within the radius is exact while every bucket fits the
+    cap (the sf0.1 fixture's max bucket is far below 512) and
+    degrades gracefully on viral buckets instead of blowing up the
+    join. ``k`` bounds the OUTPUT to the k nearest per probe — the
+    ≤ k·n contract IVF keeps."""
+    import numpy as np
+
+    d = len(emb.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    R = rng.standard_normal((num_hash_tables, d))
+    R /= np.linalg.norm(R, axis=1, keepdims=True)
+
+    v = F.col("v")
+    entries = emb.select(
         F.col(id_col).alias("vec_id"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="buckets",
-        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
-    )
-    model = lsh.fit(vec)
-    pairs = model.approxSimilarityJoin(vec, vec, radius, distCol="dist")
-    a, b = F.col("datasetA.vec_id"), F.col("datasetB.vec_id")
+    tables = []
+    for t in range(num_hash_tables):
+        r_lit = F.array(*[F.lit(float(x)) for x in R[t]])
+        proj = F.aggregate(F.zip_with(v, r_lit, lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, x: acc + x)
+        tables.append(F.struct(F.lit(t).alias("t"),
+                               F.floor(proj / F.lit(bucket_length))
+                               .alias("bucket")))
+    hashed = entries.select(
+        "vec_id", "v", F.explode(F.array(*tables)).alias("h")
+    ).select("vec_id", "v", F.col("h.t").alias("t"),
+             F.col("h.bucket").alias("bucket"))
+
+    from pyspark.sql import Window
+
+    import pandas as pd
+
+    r2 = float(radius) * float(radius)
+    chunk = 4096
+    if k is not None and bucket_cap is not None and bucket_cap > chunk:
+        raise ValueError("k-capped mode requires bucket_cap <= 4096")
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        """All probes of one (table, bucket) scored against its first
+        ``bucket_cap`` members (by vec_id; all members when the cap is
+        None) with BLAS matmuls over chunk×chunk blocks — the semdedup
+        per-cell pattern; only pairs within the radius (and, when k is
+        set, each probe's k nearest in this bucket — a superset of its
+        global k nearest) leave the task, so task output never carries
+        the bucket cross product."""
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        X = np.array([np.asarray(x, np.float64) for x in pdf["v"]])
+        n_c = len(X) if bucket_cap is None else min(len(X), bucket_cap)
+        out_a, out_b, out_d = [], [], []
+        for lo in range(0, len(X), chunk):
+            P = X[lo:lo + chunk]
+            p2 = (P ** 2).sum(1)
+            for co in range(0, n_c, chunk):
+                C = X[co:min(co + chunk, n_c)]
+                cid = ids[co:co + len(C)]
+                d2 = p2[:, None] - 2.0 * (P @ C.T) + (C ** 2).sum(1)[None, :]
+                np.maximum(d2, 0.0, out=d2)
+                if k is None:
+                    ii, jj = np.nonzero(d2 <= r2)
+                    keep = ids[lo + ii] != cid[jj]
+                    ii, jj = ii[keep], jj[keep]
+                    out_a.extend(ids[lo + ii])
+                    out_b.extend(cid[jj])
+                    out_d.extend(np.sqrt(d2[ii, jj]))
+                else:  # single candidate block (cap <= chunk)
+                    for r in range(len(P)):
+                        row = d2[r]
+                        js = np.nonzero(row <= r2)[0]
+                        js = js[cid[js] != ids[lo + r]]
+                        if len(js) > k:
+                            js = js[np.argsort(row[js], kind="stable")[:k]]
+                        out_a.extend([ids[lo + r]] * len(js))
+                        out_b.extend(cid[js])
+                        out_d.extend(np.sqrt(row[js]))
+        return pd.DataFrame({
+            "vec_id_a": np.array(out_a, dtype=np.int64),
+            "vec_id_b": np.array(out_b, dtype=np.int64),
+            "dist": np.array(out_d, dtype=np.float64),
+        })
+
     out = (
-        pairs.filter(a != b)
-        .select(a.alias("vec_id_a"), b.alias("vec_id_b"),
-                F.round("dist", 6).alias("dist"))
+        hashed.groupBy("t", "bucket")
+        .applyInPandas(score_bucket,
+                       schema="vec_id_a long, vec_id_b long, dist double")
+        .groupBy("vec_id_a", "vec_id_b")  # dedup across tables
+        .agg(F.round(F.min("dist"), 6).alias("dist"))
+        .filter(F.col("dist") <= radius)
     )
     if k is not None:
-        from pyspark.sql import Window
-
         rn = F.row_number().over(
             Window.partitionBy("vec_id_a").orderBy("dist", "vec_id_b")
         )

@@ -187,3 +187,4 @@ from . import wave127  # noqa: F401
 from . import wave128  # noqa: F401
 from . import wave129  # noqa: F401
 from . import wave131  # noqa: F401
+from . import wave132  # noqa: F401

@@ -216,7 +216,10 @@ def q_llm_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius = math.sqrt(2 - 2 * 0.4) * 1.05
     cands = (
         ann_lsh_neighbors(e, radius=radius, bucket_length=2.0,
-                          num_hash_tables=8, seed=42)
+                          num_hash_tables=8, seed=42,
+                          # recall 1.0 needs FULL in-bucket
+                          # enumeration; no candidate cap here
+                          bucket_cap=None)
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .select(F.col("vec_id_a").alias("vec_a"), F.col("vec_id_b").alias("vec_b"))
         .distinct()

@@ -25,7 +25,7 @@ sys.path.insert(0, REPO)
 
 SMALL = "/root/testdata/sf0.1"
 BIG = os.path.join(REPO, ".scale/sf10")
-OUT = os.path.join(REPO, "SCALE_r7_sf10.json")
+OUT = os.path.join(REPO, "SCALE_r8_sf10.json")
 FACTOR = 100
 
 #: cheap-first so a budget kill loses the least information
@@ -44,11 +44,15 @@ DEFAULT_QUERIES = [
 
 
 def main() -> None:
+    global OUT
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
     ap.add_argument("--budget", type=float, default=900.0,
                     help="per-query sf10 wall budget (s)")
+    ap.add_argument("--out", default=OUT,
+                    help="incremental json output path")
     a = ap.parse_args()
+    OUT = a.out
     names = a.only.split(",") if a.only else DEFAULT_QUERIES
 
     from sparkit_learn_spark.registry import all_queries
