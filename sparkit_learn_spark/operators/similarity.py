@@ -281,22 +281,18 @@ def ann_lsh_neighbors(emb: DataFrame, *, radius: float = 1.0,
     if k is not None and bucket_cap is not None and bucket_cap > chunk:
         raise ValueError("k-capped mode requires bucket_cap <= 4096")
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        """All probes of one (table, bucket) scored against its first
-        ``bucket_cap`` members (by vec_id; all members when the cap is
-        None) with BLAS matmuls over chunk×chunk blocks — the semdedup
-        per-cell pattern; only pairs within the radius (and, when k is
-        set, each probe's k nearest in this bucket — a superset of its
-        global k nearest) leave the task, so task output never carries
-        the bucket cross product."""
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        ids = pdf["vec_id"].to_numpy()
-        X = np.array([np.asarray(x, np.float64) for x in pdf["v"]])
+    def _score(ids, X):
+        """Score one complete (table, bucket): probes = all members,
+        candidates = first ``bucket_cap`` by vec_id (all when None);
+        BLAS matmuls over chunk×chunk blocks (the semdedup per-cell
+        pattern), YIELDING one output frame per probe chunk so a dense
+        bucket's pair output streams out in bounded Arrow batches
+        instead of materializing at once (the r8 sf10 Arrow-OOM fix)."""
         n_c = len(X) if bucket_cap is None else min(len(X), bucket_cap)
-        out_a, out_b, out_d = [], [], []
         for lo in range(0, len(X), chunk):
             P = X[lo:lo + chunk]
             p2 = (P ** 2).sum(1)
+            out_a, out_b, out_d = [], [], []
             for co in range(0, n_c, chunk):
                 C = X[co:min(co + chunk, n_c)]
                 cid = ids[co:co + len(C)]
@@ -306,9 +302,9 @@ def ann_lsh_neighbors(emb: DataFrame, *, radius: float = 1.0,
                     ii, jj = np.nonzero(d2 <= r2)
                     keep = ids[lo + ii] != cid[jj]
                     ii, jj = ii[keep], jj[keep]
-                    out_a.extend(ids[lo + ii])
-                    out_b.extend(cid[jj])
-                    out_d.extend(np.sqrt(d2[ii, jj]))
+                    out_a.append(ids[lo + ii])
+                    out_b.append(cid[jj])
+                    out_d.append(np.sqrt(d2[ii, jj]))
                 else:  # single candidate block (cap <= chunk)
                     for r in range(len(P)):
                         row = d2[r]
@@ -316,20 +312,65 @@ def ann_lsh_neighbors(emb: DataFrame, *, radius: float = 1.0,
                         js = js[cid[js] != ids[lo + r]]
                         if len(js) > k:
                             js = js[np.argsort(row[js], kind="stable")[:k]]
-                        out_a.extend([ids[lo + r]] * len(js))
-                        out_b.extend(cid[js])
-                        out_d.extend(np.sqrt(row[js]))
-        return pd.DataFrame({
-            "vec_id_a": np.array(out_a, dtype=np.int64),
-            "vec_id_b": np.array(out_b, dtype=np.int64),
-            "dist": np.array(out_d, dtype=np.float64),
-        })
+                        out_a.append(np.full(len(js), ids[lo + r]))
+                        out_b.append(cid[js])
+                        out_d.append(np.sqrt(row[js]))
+            if out_a:
+                yield pd.DataFrame({
+                    "vec_id_a": np.concatenate(out_a).astype(np.int64),
+                    "vec_id_b": np.concatenate(out_b).astype(np.int64),
+                    "dist": np.concatenate(out_d).astype(np.float64),
+                })
 
+    def score_stream(batches):
+        """mapInPandas over (t, bucket)-repartitioned, key-sorted rows:
+        buffer one bucket at a time (ids + vectors only), score it,
+        and stream the pair output — per-task memory is one bucket's
+        matrix plus one probe chunk's pairs, never the full result.
+        Bucket boundaries are found vectorized per Arrow batch (no
+        per-row Python)."""
+        key = None
+        id_slices: list = []
+        v_slices: list = []
+
+        def flush():
+            if not id_slices:
+                return
+            ids = np.concatenate(id_slices).astype(np.int64)
+            vecs = np.concatenate(v_slices)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            X = np.array([np.asarray(x, np.float64) for x in vecs[order]])
+            yield from _score(ids, X)
+
+        for pdf in batches:
+            t_arr = pdf["t"].to_numpy()
+            b_arr = pdf["bucket"].to_numpy()
+            vids = pdf["vec_id"].to_numpy()
+            vs = pdf["v"].to_numpy()
+            change = np.flatnonzero(
+                (t_arr[1:] != t_arr[:-1]) | (b_arr[1:] != b_arr[:-1])
+            ) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            for s, e in zip(starts, ends):
+                kk = (t_arr[s], b_arr[s])
+                if kk != key:
+                    yield from flush()
+                    id_slices, v_slices = [], []
+                    key = kk
+                id_slices.append(vids[s:e])
+                v_slices.append(vs[s:e])
+        yield from flush()
+
+    pairs = (
+        hashed.repartition("t", "bucket")
+        .sortWithinPartitions("t", "bucket", "vec_id")
+        .mapInPandas(score_stream,
+                     schema="vec_id_a long, vec_id_b long, dist double")
+    )
     out = (
-        hashed.groupBy("t", "bucket")
-        .applyInPandas(score_bucket,
-                       schema="vec_id_a long, vec_id_b long, dist double")
-        .groupBy("vec_id_a", "vec_id_b")  # dedup across tables
+        pairs.groupBy("vec_id_a", "vec_id_b")  # dedup across tables
         .agg(F.round(F.min("dist"), 6).alias("dist"))
         .filter(F.col("dist") <= radius)
     )
