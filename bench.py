@@ -150,6 +150,11 @@ HEADLINE = [
     "q_ml_rec_coverage",    # recommender catalog coverage + Gini
     "q_llm_weighted_jaccard",  # IDF-weighted near-dup scoring
     "q_dq_hash_uniformity", # exact-KS portable hash fairness audit
+    # --- r8 rotations: new wave + the rewritten LSH path ---
+    "q_llm_substring_dedup",   # sliding-window exact-substring dedup
+    "q_llm_substring_savings", # per-source repeated-span accounting
+    "q_ml_kmeans_minibatch",   # incremental KMeans partial_fit chain
+    "q_llm_ann_lsh",           # capped bucket-BLAS LSH (r8 rewrite)
 ]
 
 
