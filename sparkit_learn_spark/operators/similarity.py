@@ -16,7 +16,6 @@ corresponds to cosine ≥ 1 − r²/2.
 from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints resolve via __globals__
-from pyspark.ml.feature import BucketedRandomProjectionLSH
 from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F

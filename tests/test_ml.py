@@ -652,3 +652,61 @@ def test_semdedup_recall_audit_consistent(spark, sf_dir):
     assert rec["n_true_pairs"] == stats["n_dup_pairs"]
     assert 0 <= rec["n_deduped"] <= rec["n_true_pairs"]
     assert abs(rec["recall"] - rec["n_deduped"] / rec["n_true_pairs"]) < 1e-6
+
+
+def test_ann_lsh_capped_planted_neighbors(spark):
+    """The r8 hand-rolled LSH must (a) recover planted near-identical
+    pairs exactly, (b) honor the k-per-probe output bound, and (c)
+    keep the candidate cap from dropping planted pairs when the cap
+    exceeds the bucket population — deterministic synthetic fixture,
+    no fixture-scale skip."""
+    import numpy as np
+
+    from sparkit_learn_spark.operators.similarity import ann_lsh_neighbors
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        w = v + 1e-3 * rng.standard_normal(16)  # planted near-dup
+        w /= np.linalg.norm(w)
+        rows.append((2 * i + 1, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = ann_lsh_neighbors(df, radius=0.1, num_hash_tables=6,
+                            seed=3, k=5).toPandas()
+    pairs = {tuple(sorted((a, b)))
+             for a, b in zip(got["vec_id_a"], got["vec_id_b"])}
+    expect = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert expect <= pairs, f"missing planted pairs: {expect - pairs}"
+    # k bound: no probe emits more than 5 neighbors
+    assert got.groupby("vec_id_a").size().max() <= 5
+    # distances are true euclidean (spot-check one planted pair)
+    row = got[(got["vec_id_a"] == 0) & (got["vec_id_b"] == 1)]
+    if len(row):
+        d_true = float(np.linalg.norm(
+            np.array(rows[0][1]) - np.array(rows[1][1])))
+        assert abs(row["dist"].iloc[0] - d_true) < 1e-5
+
+
+def test_ann_lsh_bucket_cap_bounds_candidates(spark):
+    """With a tiny bucket_cap, every probe's candidate fan-in per
+    bucket is bounded: pair output stays <= k*n and the operator
+    still returns (bounded-work contract, not recall, is the claim
+    being pinned here)."""
+    import numpy as np
+
+    from sparkit_learn_spark.operators.similarity import ann_lsh_neighbors
+
+    rng = np.random.RandomState(11)
+    X = rng.standard_normal((300, 8))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id long, embedding array<double>")
+    got = ann_lsh_neighbors(df, radius=2.0, num_hash_tables=2,
+                            seed=5, k=3, bucket_cap=16).toPandas()
+    assert len(got) <= 3 * 300
+    assert got.groupby("vec_id_a").size().max() <= 3
