@@ -249,15 +249,21 @@ def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_llm_ann_lsh")  # rows-only: recall checked in pytest
 def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via BucketedRandomProjectionLSH (euclidean; for
-    unit vectors d² = 2−2cos, so radius 1.0 ≡ cosine ≥ 0.5): an LSH
+    """Approximate NN via random-projection LSH (euclidean; for unit
+    vectors d² = 2−2cos, so radius 1.0 ≡ cosine ≥ 0.5): an LSH
     COMPARISON query beside the headline IVF-PQ path (q_llm_ann).
     Output: per-vector count + mean distance of its ≤10 nearest
-    in-radius neighbors. (r7: output bounded to top-10 per probe —
-    the unbounded radius join's row count tracked the sf1 fixture's
-    dup-amplified neighbor density, the one >1.5×-of-linear entry in
-    the r6 scale sweeps; the k-cap restores the ≤k·n output contract
-    IVF keeps.)"""
+    in-radius neighbors.
+
+    r8: the hand-rolled capped bucket join
+    (operators/similarity.py:ann_lsh_neighbors) replaced MLlib's
+    approxSimilarityJoin, whose pair enumeration tracked neighbor
+    density and ABORTED the r7 sf10 probe at >7.7× of linear; with
+    the per-bucket candidate cap + chunked-BLAS scoring the same
+    probe completes at 0.038× of linear (SCALE_r8_sf10.json). The
+    k-cap keeps the ≤k·n output contract IVF keeps; q_llm_ann still
+    aliases IVF-PQ because PQ codes, not raw vectors, are the right
+    shuffle payload at 100 TB."""
     from ..operators.similarity import ann_lsh_neighbors
 
     e = load_table(spark, sf_dir, "embeddings")

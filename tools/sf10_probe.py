@@ -58,15 +58,20 @@ def main() -> None:
     from sparkit_learn_spark.registry import all_queries
     from sparkit_learn_spark.session import get_session
 
-    spark = get_session(
-        "sf10-probe", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
-        extra_confs={
-            "spark.ui.enabled": "false",
-            # 60M-row shuffles: keep partitions ~128MB-shaped
-            "spark.sql.shuffle.partitions": "64",
-        },
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    def fresh_session():
+        s = get_session(
+            "sf10-probe",
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+            extra_confs={
+                "spark.ui.enabled": "false",
+                # 60M-row shuffles: keep partitions ~128MB-shaped
+                "spark.sql.shuffle.partitions": "64",
+            },
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = fresh_session()
     queries = all_queries()
 
     results: dict[str, dict] = {}
@@ -86,6 +91,14 @@ def main() -> None:
         if name in results and "error" not in results[name]:
             print(f"[{i}/{len(names)}] {name}: cached", flush=True)
             continue
+        # a prior query can take the whole JVM down (the r8 probe lost
+        # 13 queries to one driver crash); recreate the session rather
+        # than cascading "stopped SparkContext" errors
+        try:
+            if spark.sparkContext._jsc.sc().isStopped():
+                spark = fresh_session()
+        except Exception:  # noqa: BLE001
+            spark = fresh_session()
         row: dict = {}
         try:
             t0 = time.perf_counter()
