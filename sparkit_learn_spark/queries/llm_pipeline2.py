@@ -185,15 +185,24 @@ def q_llm_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot), via the candidates-then-verify funnel the text dedup family
     uses — NOT an all-pairs join:
 
-      1. candidates: BucketedRandomProjectionLSH bucket join at
-         euclidean radius √(2−2·0.4)·1.05 ≈ 1.15 (for unit vectors
-         d² = 2−2·cos; the 5% pad absorbs non-unit norm drift),
-         generous bucket_length so a near pair colliding in NONE of
-         the 8 tables is vanishingly rare (recall 1.0 on all fixture
+      1. candidates: random-projection LSH bucket join (r8: the
+         hand-rolled chunked-BLAS ann_lsh_neighbors, streaming its
+         pair output through mapInPandas) at euclidean radius
+         √(2−2·0.4)·1.05 ≈ 1.15 (for unit vectors d² = 2−2·cos; the
+         5% pad absorbs non-unit norm drift), generous bucket_length
+         and NO candidate cap so a near pair colliding in NONE of the
+         8 tables is vanishingly rare (recall 1.0 on all fixture
          scales — verified against the exact pair set in
          tests/test_ml.py).
       2. verify: exact dot product on the candidate id pairs only,
          keep sim ≥ 0.4.
+
+    Measured trade (SCALE_r8_sf10.json): the uncapped in-bucket
+    enumeration the recall-1.0 contract requires is quadratic in the
+    densest bucket — 3.54× of linear at the 100×-replicated sf10
+    probe (completes in 630 s; pre-r8 it Arrow-OOMed). At true 100 TB
+    use q_llm_semdedup (√n-cell bounded quadratic) or the capped LSH
+    (0.038× of linear) and accept their recall trade instead.
 
     Scale: candidates shuffle by bucket key (never all-pairs), verify
     joins vectors by id for ~|candidates| rows. The plan contains no
