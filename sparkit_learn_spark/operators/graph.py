@@ -19,6 +19,94 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+         n_iter: int = 5, checkpoint_every: int = 2) -> DataFrame:
+    """HITS (Kleinberg 1999) over a DIRECTED edge list: hub scores on
+    source nodes, authority scores on destination nodes (for a
+    bipartite purchase graph: customers are hubs, parts authorities).
+    Each iteration is the canonical pair of edge-grain aggregations
+    auth = Σ_in hub, hub = Σ_out auth, each followed by a max-
+    normalization (one scalar to the driver per side, like pagerank's
+    node count).
+
+    Returns (node, side, score) with side ∈ {'hub', 'auth'} and each
+    side's max score = 1.0. Float fixpoint -> rows-only oracle class;
+    value-checked against a numpy replica in tests/test_graph_hits.py.
+
+    Scale: state is node-grain, each iteration shuffles edge-grain —
+    identical shape to :func:`pagerank`; pre-partition edges by src
+    at 100 TB so both per-iteration joins reuse one partitioning.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
+        .distinct().localCheckpoint(eager=True)
+    hubs = e.select(F.col("s").alias("node")).distinct() \
+        .withColumn("h", F.lit(1.0)).localCheckpoint(eager=True)
+    auths = None
+    prev = None
+    for i in range(n_iter):
+        a = (
+            e.join(hubs, e.s == hubs.node)
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        amax = a.agg(F.max("a")).collect()[0][0]
+        auths = a.select("node", (F.col("a") / F.lit(amax)).alias("a"))
+        h = (
+            e.join(auths, e.d == auths.node)
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hmax = h.agg(F.max("h")).collect()[0][0]
+        new_hubs = h.select("node", (F.col("h") / F.lit(hmax)).alias("h"))
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            prev, hubs = hubs, new_hubs.localCheckpoint(eager=True)
+            prev.unpersist()
+        else:
+            hubs = new_hubs
+    out = hubs.select("node", F.lit("hub").alias("side"),
+                      F.col("h").alias("score")).unionAll(
+        auths.select("node", F.lit("auth").alias("side"),
+                     F.col("a").alias("score"))
+    )
+    e.unpersist()
+    return out
+
+
+def label_propagation(edges_sym: DataFrame, *, src: str = "src",
+                      dst: str = "dst", n_iter: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over a
+    SYMMETRIC edge list: every node starts labeled with its own id;
+    each round it adopts the most frequent label among its neighbors,
+    ties broken toward the SMALLEST label. Integer-exact semantics
+    (counts + min tiebreak, no floats), so a fixed iteration count is
+    exactly SQL-oracle-able by unrolling — unlike pagerank/HITS.
+
+    Returns (node, lbl) after ``n_iter`` rounds.
+
+    Scale: one edges⋈labels shuffle + one two-level aggregation per
+    round — the mode is max(struct(count, -label)), an aggregation,
+    NOT a window over the edge list."""
+    e = edges_sym.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
+        .localCheckpoint(eager=True)
+    lab = e.select(F.col("s").alias("node")).distinct() \
+        .withColumn("lbl", F.col("node"))
+    for _ in range(n_iter):
+        cnt = (
+            e.join(lab, e.d == lab.node)
+            .groupBy(F.col("s"), F.col("lbl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lab = (
+            cnt.groupBy("s")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl")))
+                 .alias("m"))
+            .select(F.col("s").alias("node"), (-F.col("m.nl")).alias("lbl"))
+        )
+    out = lab.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
 def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              damping: float = 0.85, n_iter: int = 10,
              checkpoint_every: int = 3) -> DataFrame:

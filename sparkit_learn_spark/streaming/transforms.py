@@ -134,9 +134,15 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
 
 
 def purchase_click_interval_join(purchases: DataFrame,
-                                 clicks: DataFrame) -> DataFrame:
-    """Stream-stream inner join with a time-interval condition: each
+                                 clicks: DataFrame,
+                                 how: str = "inner") -> DataFrame:
+    """Stream-stream join with a time-interval condition: each
     purchase matched to the same user's clicks in the preceding hour.
+    ``how='left_outer'`` additionally keeps click-less purchases with
+    NULL click columns — in streaming these null rows are emitted only
+    once the watermark proves no matching click can still arrive (the
+    batch form emits them immediately; the divergence window is
+    exactly the un-closed tail, asserted in tests/test_streaming.py).
 
     Streaming semantics: BOTH sides need watermarks (the caller
     applies them) — the interval condition lets Spark bound the join
@@ -156,8 +162,60 @@ def purchase_click_interval_join(purchases: DataFrame,
         (purchases.user_id == c.click_user)
         & (c.click_ts >= purchases.ts - F.expr("INTERVAL 1 HOUR"))
         & (c.click_ts < purchases.ts),
-        "inner",
+        how,
     ).select("event_id", "user_id", "ts", "click_id", "click_ts")
+
+
+def minute_then_ten_minute_counts(events: DataFrame) -> DataFrame:
+    """CHAINED time-window aggregations (Spark 3.4+ streaming
+    capability): per-minute event counts re-aggregated into 10-minute
+    windows (peak minute + total) — the downsample-then-rollup shape
+    every metrics pipeline runs, previously impossible in one
+    streaming query (two aggs needed two jobs with an intermediate
+    sink). The second groupBy windows over the FIRST window column,
+    which Spark resolves to its start time.
+
+    Integer counts only, so the batch form is exactly oracle-able.
+
+    Scale: the first agg shuffles event-grain to (minute, type) grain;
+    the second shuffles minute-grain rows — cheap by construction. In
+    streaming, state is one count per open (minute, type) plus one per
+    open 10-minute rollup window."""
+    per_min = events.groupBy(
+        F.window("ts", "1 minute").alias("mw"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_min.groupBy(F.window("mw", "10 minutes").alias("w"), "event_type")
+        .agg(F.max("c").alias("peak_minute"),
+             F.sum("c").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "peak_minute", "n_events",
+        )
+    )
+
+
+def join_then_window_counts(purchases: DataFrame,
+                            clicks: DataFrame) -> DataFrame:
+    """Stream-stream interval join CHAINED into a windowed aggregation
+    (Spark 3.5+ allows stateful-after-stateful): purchases⋈preceding-
+    hour clicks, then per-hour counts of joined pairs and distinct-ish
+    purchase volume per event-hour — the attribution-rate rollup that
+    previously needed a sink between the join and the agg.
+
+    Scale: join state is watermark-bounded per side; the downstream
+    agg holds one row per open hour window."""
+    j = purchase_click_interval_join(purchases, clicks, "inner")
+    return (
+        j.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum(F.expr("CAST(click_id % 2 = 0 AS BIGINT)"))
+             .alias("n_even_clicks"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "n_pairs", "n_even_clicks")
+    )
 
 
 def running_user_totals_tws(events: DataFrame) -> DataFrame:

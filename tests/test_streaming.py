@@ -697,3 +697,149 @@ def test_session_dynamic_state_survives_restart(spark, sf_dir, tmp_path):
         (got["session_start"] < cutoff) & (got["session_end"] > cutoff)
     ).sum()
     assert straddlers > 0, "no session straddles the cutoff; merge untested"
+
+
+# ---------------------------------------------------------------- wave 135
+
+
+def _split_pc(df):
+    p = df.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = df.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return p, c
+
+
+def test_stream_outer_join_parity(spark, sf_dir, events_batch):
+    """LEFT OUTER stream-stream interval join: matched rows must equal
+    the batch inner join exactly; null rows may only appear for
+    purchases the batch left join also leaves unmatched; and every
+    unmatched purchase old enough that the final watermark has
+    provably closed it (ts + join horizon + watermark delay < max
+    event time) MUST have been emitted as a null row."""
+    sp, sc = _split_pc(read_events_stream(spark, sf_dir))
+    joined = T.purchase_click_interval_join(
+        sp.withWatermark("ts", "10 minutes"),
+        sc.withWatermark("ts", "10 minutes"),
+        "left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("mem_soj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM mem_soj").toPandas()
+
+    bp, bc = _split_pc(events_batch)
+    inner = T.purchase_click_interval_join(bp, bc, "inner").toPandas()
+    outer = T.purchase_click_interval_join(bp, bc, "left_outer").toPandas()
+    unmatched = set(
+        outer.loc[outer["click_id"].isnull(), "event_id"].astype(int)
+    )
+    assert unmatched, "fixture must contain click-less purchases"
+
+    got_matched = got[got["click_id"].notnull()].copy()
+    # the nullable outer column arrives as float64 in pandas; restore
+    # the int dtype of the inner-join frame before the hash compare
+    got_matched["click_id"] = got_matched["click_id"].astype("int64")
+    compare_frames(got_matched, inner, name="stream_outer_join_matched")
+
+    got_null_ids = set(got.loc[got["click_id"].isnull(), "event_id"].astype(int))
+    assert got_null_ids <= unmatched  # no spurious null emission
+
+    # closed-horizon completeness: watermark delay 10min + interval 1h,
+    # with 1h slack for Spark's internal eviction cadence
+    import pandas as pd
+
+    max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+    closed = outer[
+        outer["click_id"].isnull()
+        & (outer["ts"] + pd.Timedelta(hours=2, minutes=10) < max_ts)
+    ]
+    missing = set(closed["event_id"].astype(int)) - got_null_ids
+    assert not missing, f"closed unmatched purchases never emitted: {missing}"
+
+
+def test_chained_window_agg_parity(spark, sf_dir, events_batch):
+    """Two chained time-window aggregations in ONE streaming query
+    (Spark 3.4+): on an availableNow replay with watermark, every
+    10-minute window the watermark closed must equal the batch rollup;
+    complete coverage of all-but-the-final-horizon windows."""
+    stream = T.minute_then_ten_minute_counts(
+        read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("mem_chain")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM mem_chain").toPandas()
+    expect = T.minute_then_ten_minute_counts(events_batch).toPandas()
+
+    import pandas as pd
+
+    max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+    # windows whose end precedes the final watermark minus one rollup
+    # width are certainly closed and emitted
+    horizon = max_ts - pd.Timedelta(minutes=30)
+    exp_closed = expect[expect["window_end"] <= horizon]
+    got_keyed = got.set_index(["window_start", "event_type"])
+    assert len(exp_closed) > 0
+    for _, r in exp_closed.iterrows():
+        g = got_keyed.loc[(r["window_start"], r["event_type"])]
+        assert int(g["peak_minute"]) == int(r["peak_minute"])
+        assert int(g["n_events"]) == int(r["n_events"])
+    # and nothing the stream emitted disagrees with batch
+    exp_keyed = expect.set_index(["window_start", "event_type"])
+    for _, r in got.iterrows():
+        e = exp_keyed.loc[(r["window_start"], r["event_type"])]
+        assert int(r["peak_minute"]) == int(e["peak_minute"])
+        assert int(r["n_events"]) == int(e["n_events"])
+
+
+def test_join_then_agg_parity(spark, sf_dir, events_batch):
+    """Stream-stream join chained into a windowed agg (Spark 3.5+
+    stateful-after-stateful): closed hourly windows equal batch."""
+    sp, sc = _split_pc(read_events_stream(spark, sf_dir))
+    stream = T.join_then_window_counts(
+        sp.withWatermark("ts", "10 minutes"),
+        sc.withWatermark("ts", "10 minutes"),
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("mem_jta")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM mem_jta").toPandas()
+
+    bp, bc = _split_pc(events_batch)
+    expect = T.join_then_window_counts(bp, bc).toPandas()
+
+    import pandas as pd
+
+    max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+    # join horizon (1h) + watermark (10min) + agg window (1h) + slack
+    horizon = max_ts - pd.Timedelta(hours=4)
+    exp_closed = expect[expect["window_end"] <= horizon]
+    assert len(exp_closed) > 0
+    got_keyed = got.set_index("window_start")
+    for _, r in exp_closed.iterrows():
+        g = got_keyed.loc[r["window_start"]]
+        assert int(g["n_pairs"]) == int(r["n_pairs"])
+        assert int(g["n_even_clicks"]) == int(r["n_even_clicks"])
+    exp_keyed = expect.set_index("window_start")
+    for _, r in got.iterrows():
+        e = exp_keyed.loc[r["window_start"]]
+        assert int(r["n_pairs"]) == int(e["n_pairs"])
+        assert int(r["n_even_clicks"]) == int(e["n_even_clicks"])
