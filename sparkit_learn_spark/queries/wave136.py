@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.ranking import global_row_number
 from ..registry import register
 from .wave13 import _morton_expr_spark, _morton_expr_sql
 
@@ -91,15 +92,16 @@ def q_maint_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = k.withColumn(
         "zcode", _morton_expr_spark(F.col("ck16"), F.col("day_num"))
     )
-    arrival = z.select(
+    # global row numbers via the distributed two-pass ranking — a
+    # bare Window.orderBy here would plan a SinglePartition stage,
+    # the exact straggler this layout work exists to avoid at 100 TB
+    arrival = global_row_number(z, ["o_orderkey"], name="rn").select(
         F.lit("arrival").alias("layout"), "ck16", "day_num",
-        ((F.row_number().over(Window.orderBy("o_orderkey")) - 1)
-         / CHUNK).cast("long").alias("fid"),
+        ((F.col("rn") - 1) / CHUNK).cast("long").alias("fid"),
     )
-    zord = z.select(
+    zord = global_row_number(z, ["zcode", "o_orderkey"], name="rn").select(
         F.lit("zorder").alias("layout"), "ck16", "day_num",
-        ((F.row_number().over(Window.orderBy("zcode", "o_orderkey")) - 1)
-         / CHUNK).cast("long").alias("fid"),
+        ((F.col("rn") - 1) / CHUNK).cast("long").alias("fid"),
     )
     zone = (
         arrival.unionAll(zord)
@@ -177,16 +179,17 @@ def q_maint_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: intervals are file-grain metadata (two events per file);
     the sweep is a running sum over 2·n_files rows — the measurement
     costs nothing next to the table it describes."""
-    o = load_table(spark, sf_dir, "orders")
-    arrival = o.select(
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    arrival = global_row_number(o, ["o_orderkey"], name="rn").select(
         F.lit("arrival").alias("layout"), "o_custkey",
-        ((F.row_number().over(Window.orderBy("o_orderkey")) - 1)
-         / CHUNK).cast("long").alias("fid"),
+        ((F.col("rn") - 1) / CHUNK).cast("long").alias("fid"),
     )
-    clustered = o.select(
+    clustered = global_row_number(
+        o, ["o_custkey", "o_orderkey"], name="rn"
+    ).select(
         F.lit("clustered").alias("layout"), "o_custkey",
-        ((F.row_number().over(Window.orderBy("o_custkey", "o_orderkey")) - 1)
-         / CHUNK).cast("long").alias("fid"),
+        ((F.col("rn") - 1) / CHUNK).cast("long").alias("fid"),
     )
     files = (
         arrival.unionAll(clustered)
