@@ -16,7 +16,7 @@ Target distribution = English documents; raw = whole corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -194,11 +194,14 @@ def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx quantile — one scalar — instead of a total order); doc
     grain never exceeds one row per document and the per-source
     report is a 20-row aggregate."""
+    from ..operators.ranking import global_row_number
+
     doc = _dsir_doc_weights(spark, sf_dir)
     n = doc.agg(F.count(F.lit(1)).alias("n"))
-    r = doc.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.col("sumw").desc(), "doc_id")),
+    # distributed two-pass rank — a bare Window.orderBy would plan a
+    # SinglePartition stage over the whole doc table
+    r = global_row_number(
+        doc, [F.col("sumw").desc(), F.col("doc_id")], name="rk"
     )
     sel = r.crossJoin(F.broadcast(n)).withColumn(
         "keep",
