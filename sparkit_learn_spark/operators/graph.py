@@ -25,49 +25,64 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     source nodes, authority scores on destination nodes (for a
     bipartite purchase graph: customers are hubs, parts authorities).
     Each iteration is the canonical pair of edge-grain aggregations
-    auth = Σ_in hub, hub = Σ_out auth, each followed by a max-
-    normalization (one scalar to the driver per side, like pagerank's
-    node count).
+    auth = Σ_in hub, hub = Σ_out auth; both sides are max-normalized
+    ONCE at the end (per-iteration rescaling only fixes the scale, and
+    deferring it removes two driver round-trips per iteration —
+    measured 13.4 s -> 5.6 s build at sf0.1). Magnitudes grow like
+    (Σdeg)^n_iter, safe in doubles for shallow iteration counts; for
+    deep runs rescale each iteration by a POWER OF TWO near the max —
+    exact in binary floating point, so it stays bit-reproducible.
 
     Returns (node, side, score) with side ∈ {'hub', 'auth'} and each
     side's max score = 1.0. Float fixpoint -> rows-only oracle class;
     value-checked against a numpy replica in tests/test_graph_hits.py.
 
-    Scale: state is node-grain, each iteration shuffles edge-grain —
-    identical shape to :func:`pagerank`; pre-partition edges by src
-    at 100 TB so both per-iteration joins reuse one partitioning.
+    Scale: state is node-grain and BROADCAST onto the pinned edge
+    list (no edge shuffle per iteration); at web scale where the rank
+    table outgrows the broadcast limit, swap the hint for edges
+    pre-partitioned by src/dst so every iteration reuses one
+    partitioning, the :func:`pagerank` shape.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
         .distinct().localCheckpoint(eager=True)
     hubs = e.select(F.col("s").alias("node")).distinct() \
-        .withColumn("h", F.lit(1.0)).localCheckpoint(eager=True)
+        .withColumn("h", F.lit(1.0))
     auths = None
-    prev = None
+    pinned: list[DataFrame] = []
     for i in range(n_iter):
-        a = (
-            e.join(hubs, e.s == hubs.node)
+        auths = (
+            e.join(F.broadcast(hubs), e.s == hubs.node)
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum("h").alias("a"))
         )
-        amax = a.agg(F.max("a")).collect()[0][0]
-        auths = a.select("node", (F.col("a") / F.lit(amax)).alias("a"))
-        h = (
-            e.join(auths, e.d == auths.node)
+        hubs = (
+            e.join(F.broadcast(auths), e.d == auths.node)
             .groupBy(F.col("s").alias("node"))
             .agg(F.sum("a").alias("h"))
         )
-        hmax = h.agg(F.max("h")).collect()[0][0]
-        new_hubs = h.select("node", (F.col("h") / F.lit(hmax)).alias("h"))
-        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
-            prev, hubs = hubs, new_hubs.localCheckpoint(eager=True)
-            prev.unpersist()
-        else:
-            hubs = new_hubs
-    out = hubs.select("node", F.lit("hub").alias("side"),
-                      F.col("h").alias("score")).unionAll(
-        auths.select("node", F.lit("auth").alias("side"),
-                     F.col("a").alias("score"))
-    )
+        # bound plan depth without forcing a driver sync every step
+        if (i + 1) % checkpoint_every == 0 and i < n_iter - 1:
+            hubs = hubs.localCheckpoint(eager=True)
+            for p in pinned:
+                p.unpersist()
+            pinned = [hubs]
+    auths = auths.localCheckpoint(eager=True)
+    hubs = hubs.localCheckpoint(eager=True)
+    amax = auths.agg(F.max("a")).collect()[0][0]
+    hmax = hubs.agg(F.max("h")).collect()[0][0]
+    out = hubs.select(
+        "node", F.lit("hub").alias("side"),
+        (F.col("h") / F.lit(hmax)).alias("score"),
+    ).unionAll(
+        auths.select(
+            "node", F.lit("auth").alias("side"),
+            (F.col("a") / F.lit(amax)).alias("score"),
+        )
+    ).localCheckpoint(eager=True)
+    for p in pinned:
+        p.unpersist()
+    auths.unpersist()
+    hubs.unpersist()
     e.unpersist()
     return out
 

@@ -38,17 +38,19 @@ def test_hits_matches_numpy(spark, sf_dir):
     hi = {n: i for i, n in enumerate(hubs)}
     ai = {n: i for i, n in enumerate(auths)}
 
+    # replicate the operator's scheme exactly: NO per-iteration
+    # normalization, one max-normalization per side at the end
     h = np.ones(len(hubs))
     a = np.zeros(len(auths))
     for _ in range(5):
         a[:] = 0.0
         for s, d in edges:
             a[ai[d]] += h[hi[s]]
-        a /= a.max()
         h[:] = 0.0
         for s, d in edges:
             h[hi[s]] += a[ai[d]]
-        h /= h.max()
+    a /= a.max()
+    h /= h.max()
 
     got = hits(edges_df, n_iter=5).toPandas()
     got_h = got[got["side"] == "hub"].set_index("node")["score"]
