@@ -50,6 +50,7 @@ from . import wave67  # noqa: F401
 from . import wave69  # noqa: F401
 # --- remainder (previous order, minus the prefix modules) ---
 from . import llm_pipeline2  # noqa: F401
+from . import wave140  # noqa: F401  (funnel — wraps llm_pipeline2's oracle)
 from . import wave103  # noqa: F401
 from . import wave25  # noqa: F401
 from . import wave92  # noqa: F401
