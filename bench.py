@@ -155,6 +155,21 @@ HEADLINE = [
     "q_llm_substring_savings", # per-source repeated-span accounting
     "q_ml_kmeans_minibatch",   # incremental KMeans partial_fit chain
     "q_llm_ann_lsh",           # capped bucket-BLAS LSH (r8 rewrite)
+    # --- r8 waves 133-137 ---
+    "q_llm_dsir_weights",      # DSIR hashed-bigram importance weights
+    "q_llm_dsir_select",       # DSIR top-quantile selection audit
+    "q_graph_label_prop",      # integer-exact LPA communities
+    "q_graph_hits",            # bipartite hubs/authorities
+    "q_stream_outer_join",     # left-outer stream-stream interval join
+    "q_stream_chained_agg",    # chained time-window aggregations
+    "q_llm_substring_spans",   # maximal repeated-span merging
+    "q_maint_zorder_pruning",  # zone-map pruning, arrival vs z-order
+    "q_ivm_retract",           # aggregate maintenance with deletes
+    "q_ml_als",                # MLlib ALS recommendations
+    "q_llm_pipeline_funnel",   # end-to-end corpus-prep funnel
+    "q_ts_holt_winters",       # sequential triple smoothing, exact oracle
+    "q_agg_salted_hot_keys",   # two-phase salted aggregation proof
+    "q_agg_aqp_estimate",      # hash-sample AQP with error accounting
 ]
 
 

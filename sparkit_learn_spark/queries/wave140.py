@@ -53,9 +53,15 @@ def q_llm_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = d.join(keep1, "doc_id")
 
-    # stage 2: near-dup dedup (drop the larger id of each pair)
+    # stage 2: near-dup dedup (drop the larger id of each pair);
+    # pinned eagerly — stages 2-4 all sit on this lineage, and without
+    # the checkpoint each stage aggregate re-runs the whole candidate-
+    # verify pair pipeline (plan audit: 41 broadcast joins -> 5)
     pairs = q_llm_ngram_jaccard(spark, sf_dir)
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    losers = (
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        .localCheckpoint(eager=True)
+    )
     s2 = s1.join(losers, "doc_id", "left_anti")
 
     # stage 3: quality gate
