@@ -199,9 +199,11 @@ def q_agg_aqp_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     answering dashboards from a sample at 100 TB. Hash sampling (not
     Bernoulli RNG) keeps the estimate reproducible AND oracle-exact.
 
-    Scale: the sample predicate pushes to the scan; the estimate is
-    one aggregate over ~10% of rows — a 10× scan saving with the
-    error bound printed next to it."""
+    Scale: the sample flag is a row-local expression evaluated inside
+    the scan stage (a hash of the key cannot reach parquet footers —
+    production would PARTITION BY a hash bucket column to get true
+    scan pruning); the estimate is one map-side-combinable aggregate,
+    and the exact twin here exists only for the error accounting."""
     o = load_table(spark, sf_dir, "orders")
     keep = F.when(
         F.conv(
