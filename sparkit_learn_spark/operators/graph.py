@@ -43,6 +43,11 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     pre-partitioned by src/dst so every iteration reuses one
     partitioning, the :func:`pagerank` shape.
     """
+    if n_iter < 1:
+        raise ValueError(f"hits: n_iter must be >= 1, got {n_iter}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"hits: checkpoint_every must be >= 1, got {checkpoint_every}")
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
         .distinct().localCheckpoint(eager=True)
     hubs = e.select(F.col("s").alias("node")).distinct() \

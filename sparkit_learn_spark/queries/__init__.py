@@ -12,11 +12,13 @@ spans/k-anonymity/ALS, salting/null-trap/AQP, Holt-Winters/Croston —
 20 queries, all registered this round; wave136's wave13 import also
 pulls wave13's trio into the prefix), then (b) wave132 and the four
 DECIMAL-cast fix modules from earlier in the round, then (c) a tail
-of never-driver-sampled modules. Verified first-26 composition:
+of never-driver-sampled modules. Verified first-31 composition:
 wave133(3) wave134(3) wave135(3) wave13(3, via wave136's import)
-wave136(3) wave132(3) wave137(3) wave138(3) wave139(2); the
-remaining 24 prefix slots fall to the decimal-fix modules
-(wave104/76/73/79) and the never-sampled tail.
+wave136(3) wave132(3) wave137(3) wave138(3) wave139(2) wave141(3)
+wave142(2); the remaining 19 prefix slots fall to the decimal-fix
+modules (wave104/76/73/79) and the start of the never-sampled tail.
+(wave140 registers later by necessity — its oracle wraps
+llm_pipeline2's SQL, so it must import after that module.)
 
 Ordering constraints preserved in the remainder: llm_pipeline2 must
 precede wave103/wave25 (oracle CTE dependency), llm_pipeline6 and

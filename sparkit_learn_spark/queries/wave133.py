@@ -76,6 +76,36 @@ def _bucket(col) -> F.Column:
             % F.lit(B))
 
 
+def _doc_bigram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-grain bigram-bucket stream: one row per bigram occurrence
+    with its hashed bucket — the shared feature space of all three
+    DSIR queries (the Spark twin of ``_DSIR_DOC_SQL``'s ``bg`` CTE)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", "source", tokens("text").alias("toks")
+    ).where(F.size("toks") >= 2)
+    return t.select(
+        "doc_id", "lang", "source",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.explode(shingles(F.col("toks"), k=2)).alias("bigram"),
+    ).withColumn("b", _bucket(F.col("bigram"))).drop("bigram")
+
+
+def _bucket_counts(bg: DataFrame):
+    """(tgt, raw, tot) bucket-grain counts over a bigram-bucket
+    stream — the distributions behind both the per-doc weights and
+    the KL diagnostic (one definition, so the feature space cannot
+    drift between them)."""
+    tgt = bg.where(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc"))
+    raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tot = bg.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tn"),
+        F.count(F.lit(1)).alias("rn"),
+    )
+    return tgt, raw, tot
+
+
 def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-grain DSIR weights: (doc_id, lang, source, n_toks,
     n_bigrams, sumw) with sumw the micro-quantized integer log
@@ -86,23 +116,8 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-bigram stream, so the per-doc sum is one map-side-combinable
     aggregation. Nothing materializes above doc grain.
     """
-    d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", "lang", "source", tokens("text").alias("toks")
-    ).where(F.size("toks") >= 2)
-    bg = t.select(
-        "doc_id", "lang", "source",
-        F.size("toks").cast("long").alias("n_toks"),
-        F.explode(shingles(F.col("toks"), k=2)).alias("bigram"),
-    ).withColumn("b", _bucket(F.col("bigram"))).drop("bigram")
-
-    tgt = bg.where(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("tc"))
-    raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tot = bg.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tn"),
-        F.count(F.lit(1)).alias("rn"),
-    )
+    bg = _doc_bigram_buckets(spark, sf_dir)
+    tgt, raw, tot = _bucket_counts(bg)
     w = (
         raw.join(tgt, "b", "left")
         .crossJoin(F.broadcast(tot))
@@ -196,7 +211,10 @@ def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     report is a 20-row aggregate."""
     from ..operators.ranking import global_row_number
 
-    doc = _dsir_doc_weights(spark, sf_dir)
+    # pinned: both the scalar count and the ranking pass sit on the
+    # full weight pipeline — without the checkpoint the corpus-scale
+    # lineage executes twice (the wave-140 funnel lesson)
+    doc = _dsir_doc_weights(spark, sf_dir).localCheckpoint(eager=True)
     n = doc.agg(F.count(F.lit(1)).alias("n"))
     # distributed two-pass rank — a bare Window.orderBy would plan a
     # SinglePartition stage over the whole doc table
@@ -261,20 +279,8 @@ def q_llm_dsir_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is aggregation-order-proof.
 
     Scale: everything after the two bucket-grain counts is B rows."""
-    d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", "lang", tokens("text").alias("toks")).where(
-        F.size("toks") >= 2
-    )
-    bg = t.select(
-        "lang", F.explode(shingles(F.col("toks"), k=2)).alias("bigram")
-    ).withColumn("b", _bucket(F.col("bigram")))
-    tgt = bg.where(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("tc"))
-    raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tot = bg.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tn"),
-        F.count(F.lit(1)).alias("rn"),
-    )
+    bg = _doc_bigram_buckets(spark, sf_dir)
+    tgt, raw, tot = _bucket_counts(bg)
     pq = (
         raw.join(tgt, "b", "left")
         .crossJoin(F.broadcast(tot))

@@ -156,7 +156,7 @@ def q_maint_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     swept AS (
         SELECT layout, delta,
                SUM(delta) OVER (PARTITION BY layout
-                                ORDER BY pos, delta DESC
+                                ORDER BY pos, delta ASC
                                 ROWS UNBOUNDED PRECEDING) AS depth
         FROM events),
     starts AS (SELECT layout, depth FROM swept WHERE delta = 1)
@@ -202,11 +202,15 @@ def q_maint_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         files.select("layout", (F.col("hi") + 1).alias("pos"),
                      F.lit(-1).alias("delta"))
     )
+    # tie order is load-bearing: ends (delta −1, at hi+1) must process
+    # BEFORE starts at the same position, else two exactly-abutting
+    # files ([1,4] and [5,9]) read as overlapping and the clustered
+    # layout can never collapse to depth 1
     swept = events.withColumn(
         "depth",
         F.sum("delta").over(
             Window.partitionBy("layout")
-            .orderBy(F.col("pos"), F.col("delta").desc())
+            .orderBy(F.col("pos"), F.col("delta").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )

@@ -90,6 +90,9 @@ def q_ml_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("basket")
         .agg(F.collect_set("item").alias("items"))
+        # pinned: the scalar count AND FPGrowth.fit both consume this
+        # lineitem-scale lineage — without it the fact scans twice
+        .localCheckpoint(eager=True)
     )
     nb = baskets.count()
     fp = FPGrowth(itemsCol="items", minSupport=MIN_SUPPORT)
@@ -112,9 +115,10 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue curve and the corpus-wide curve — the alignment-tolerant
     similarity ranking (a nation whose cycle lags the global one by a
     month still scores close, where Euclidean distance would not).
-    Series are integer (cents-rounded revenue per month, z-scaled in
-    integer micro-units), the DP is exact integer arithmetic, and
-    each nation's alignment runs in a bounded Arrow batch (months²).
+    Series aggregate to integer cents per month; the z-scaling and DP
+    run in float64 inside one bounded Arrow batch (months² work), so
+    this is the rows-only float class — the numpy replica pytest
+    pins the values, not a SQL oracle.
     Output: nations ranked by DTW distance to the global curve.
 
     Scale: the fact aggregates distributed to (nation, month) grain;
