@@ -170,6 +170,8 @@ HEADLINE = [
     "q_ts_holt_winters",       # sequential triple smoothing, exact oracle
     "q_agg_salted_hot_keys",   # two-phase salted aggregation proof
     "q_agg_aqp_estimate",      # hash-sample AQP with error accounting
+    "q_dq_t_closeness",        # EMD privacy audit, integer cumsums
+    "q_evt_event_study",       # DiD leads/lags with pre-period norm
 ]
 
 
