@@ -36,6 +36,7 @@ from . import wave139  # noqa: F401
 from . import wave141  # noqa: F401
 from . import wave142  # noqa: F401
 from . import wave143  # noqa: F401
+from . import wave144  # noqa: F401
 from . import wave132  # noqa: F401
 from . import wave104  # noqa: F401
 from . import wave76  # noqa: F401
