@@ -37,6 +37,7 @@ from . import wave141  # noqa: F401
 from . import wave142  # noqa: F401
 from . import wave143  # noqa: F401
 from . import wave144  # noqa: F401
+from . import wave145  # noqa: F401
 from . import wave132  # noqa: F401
 from . import wave104  # noqa: F401
 from . import wave76  # noqa: F401
