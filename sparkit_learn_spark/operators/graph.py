@@ -15,8 +15,15 @@ and ranks by src so every iteration reuses the partitioning.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Iteration count beyond which hits() rescales at every checkpoint.
+#: 16 half-step pairs of Σdeg growth is far inside double range for
+#: any graph whose degree sums fit in a double to begin with.
+RESCALE_AFTER = 16
 
 
 def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
@@ -29,9 +36,12 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     ONCE at the end (per-iteration rescaling only fixes the scale, and
     deferring it removes two driver round-trips per iteration —
     measured 13.4 s -> 5.6 s build at sf0.1). Magnitudes grow like
-    (Σdeg)^n_iter, safe in doubles for shallow iteration counts; for
-    deep runs rescale each iteration by a POWER OF TWO near the max —
-    exact in binary floating point, so it stays bit-reproducible.
+    (Σdeg)^n_iter, safe in doubles for shallow iteration counts; when
+    ``n_iter > RESCALE_AFTER`` each checkpoint ALSO rescales hubs by a
+    POWER OF TWO near the max — exact in binary floating point, so
+    scores stay bit-reproducible while deep runs can no longer
+    overflow to inf/NaN (one extra driver round-trip per checkpoint,
+    paid only on deep runs).
 
     Returns (node, side, score) with side ∈ {'hub', 'auth'} and each
     side's max score = 1.0. Float fixpoint -> rows-only oracle class;
@@ -68,6 +78,18 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         # bound plan depth without forcing a driver sync every step
         if (i + 1) % checkpoint_every == 0 and i < n_iter - 1:
             hubs = hubs.localCheckpoint(eager=True)
+            if n_iter > RESCALE_AFTER:
+                # deep run: scores grow like (Σdeg)^i — rescale by a
+                # power of two near the current max (exact in binary
+                # FP, bit-identical final normalized scores) so the
+                # fixpoint can't overflow doubles to inf/NaN.
+                cur = hubs.agg(F.max("h")).collect()[0][0]
+                if cur and cur > 0:
+                    scale = 2.0 ** -math.floor(math.log2(cur))
+                    if scale != 1.0:
+                        hubs = hubs.withColumn(
+                            "h", F.col("h") * F.lit(scale)
+                        ).localCheckpoint(eager=True)
             for p in pinned:
                 p.unpersist()
             pinned = [hubs]

@@ -38,6 +38,14 @@ def global_row_number(df: DataFrame, order_by: list[Column | str],
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     in_cols = df.columns
+    if "_pid" in in_cols:
+        raise ValueError(
+            "global_row_number: input already has a '_pid' column "
+            "(reserved internal name) — rename it first")
+    if name in in_cols:
+        raise ValueError(
+            f"global_row_number: output column {name!r} already exists "
+            "in the input — pass a different name=")
     if num_partitions:
         part = df.repartitionByRange(num_partitions, *cols)
     else:

@@ -32,7 +32,13 @@ ITEM_MOD = 50
 @register(
     "q_ml_fpgrowth",
     oracle=f"""
-    WITH baskets AS (
+    WITH baskets AS MATERIALIZED (
+        -- MATERIALIZED is load-bearing (r9): DuckDB 1.0 inlines the
+        -- CTE three times into the size-3 self-join and, with only
+        -- parquet-level stats, can pick an inequality-first join
+        -- order (b x c on item< alone ~ 3e9 rows) that spills past
+        -- any temp cap. Materializing pins real cardinalities and
+        -- the basket-equality hash join (hang -> 0.07 s at sf0.01).
         SELECT l_orderkey AS basket,
                l_partkey % {ITEM_MOD} AS item
         FROM lineitem GROUP BY 1, 2),
@@ -97,8 +103,30 @@ def q_ml_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = baskets.count()
     fp = FPGrowth(itemsCol="items", minSupport=MIN_SUPPORT)
     model = fp.fit(baskets)
+    # The oracle enumerates itemsets only up to MAX_SET; larger
+    # frequent itemsets DO exist above the support floor (size-5 at
+    # sf0.001) but can never reach the top-25 because every superset
+    # has freq ≤ its subsets. Guard the actual invariant: the best
+    # >MAX_SET itemset must sit STRICTLY below the 25th-ranked
+    # size-≤MAX_SET freq, else the oracle's truncated enumeration
+    # would diverge — fail here with a clear message instead of as an
+    # opaque driver hash mismatch (ADVICE r8).
+    fi = model.freqItemsets.withColumn("sz", F.size("items"))
+    fi = fi.localCheckpoint(eager=True)
+    cutoff_rows = (fi.filter(F.col("sz") <= MAX_SET)
+                   .orderBy(F.col("freq").desc()).limit(25)
+                   .agg(F.min("freq"), F.count("*")).collect()[0])
+    cutoff, n_small = cutoff_rows[0], cutoff_rows[1]
+    large_max = (fi.filter(F.col("sz") > MAX_SET)
+                 .agg(F.max("freq")).collect()[0][0])
+    if large_max is not None and (n_small < 25 or large_max >= cutoff):
+        raise AssertionError(
+            f"q_ml_fpgrowth: a frequent itemset larger than "
+            f"MAX_SET={MAX_SET} (freq {large_max}) would enter the "
+            f"top-25 (cutoff {cutoff}, {n_small} small sets) — extend "
+            "the oracle's enumeration bound to match the fixture")
     return (
-        model.freqItemsets
+        fi
         .select(
             F.array_join(F.array_sort("items"), ",").alias("itemset"),
             F.col("freq").cast("long").alias("freq"),

@@ -73,7 +73,8 @@ def q_agg_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget across the order-priority strata proportionally to
     N_h·S_h — big, high-variance strata get more rows, which
     minimizes the estimator's variance at fixed cost. Stddevs come
-    from integer (n, Σx, Σx²) sufficient statistics quantized ×1e6,
+    from integer (n, Σx, Σx²) sufficient statistics quantized ×{SCALE}
+    (deliberately coarser than the usual 1e6 — see SCALE's note),
     the allocation is integer largest-remainder rounding (allocations
     sum to the budget EXACTLY), so the whole design is hash-exact.
 

@@ -20,10 +20,37 @@ import pandas as pd
 from .catalog import TABLES
 
 
-def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+#: Resource envelope for oracle connections (r9, VERDICT r8 item #1).
+#: DuckDB's defaults on this host are memory_limit = 80% of RAM
+#: (~100 GiB) and temp_directory = ./.tmp with NO size cap — the r8
+#: full-registry sf0.1 sweep reached ~110 GB RSS and then spilled
+#: 68 GB of temp blocks, exhausting the disk. A standing gate must be
+#: runnable: bound memory well below host RAM (Spark shares the box)
+#: and hard-cap spill so a pathological oracle fails with a clean
+#: DuckDB OOM error instead of taking the volume to 100%.
+DUCK_MEMORY_LIMIT = "16GB"
+DUCK_TEMP_DIR = "/tmp/sparkit_duckdb_spill"
+DUCK_MAX_TEMP_SIZE = "24GB"
+
+
+def duck_connect(
+    sf_dir: str,
+    memory_limit: str = DUCK_MEMORY_LIMIT,
+    temp_directory: str = DUCK_TEMP_DIR,
+    max_temp_size: str = DUCK_MAX_TEMP_SIZE,
+) -> duckdb.DuckDBPyConnection:
     """DuckDB connection with every fixture table registered as a view
-    (mirrors the driver's pre-registered views)."""
+    (mirrors the driver's pre-registered views).
+
+    Resource-bounded by default: callers that sweep many oracles on
+    one connection should ALSO recycle it every N queries (see
+    tests/test_no_negative_zero.py) — DuckDB's buffer pool and temp
+    blocks accumulate per-connection, not per-query.
+    """
     con = duckdb.connect()
+    con.execute(f"SET memory_limit='{memory_limit}'")
+    con.execute(f"SET temp_directory='{temp_directory}'")
+    con.execute(f"SET max_temp_directory_size='{max_temp_size}'")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
