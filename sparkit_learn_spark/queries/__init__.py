@@ -25,6 +25,8 @@ precede wave103/wave25 (oracle CTE dependency), llm_pipeline6 and
 wave68 (kcore oracle wraps ngram_jaccard's SQL).
 """
 
+# --- round-9 driver-sample prefix (new + never-sampled) ---
+from . import wave146  # noqa: F401
 # --- round-8 driver-sample prefix (new + fixed + never-sampled) ---
 from . import wave133  # noqa: F401
 from . import wave134  # noqa: F401

@@ -183,30 +183,47 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs: embedding cosine ≥ 0.4 (unit vectors ⇒
     dot), via the candidates-then-verify funnel the text dedup family
-    uses — NOT an all-pairs join:
+    uses — NOT an all-pairs join, and (r9) with a DISTINCT-VECTOR
+    pre-group so bit-identical duplicates never enter the quadratic:
 
-      1. candidates: random-projection LSH bucket join (r8: the
+      0. group: bit-identical embeddings collapse to one
+         representative (min vec_id; array-equality groupBy — exact,
+         no hashing). Duplicate-heavy corpora (the sf10 fixture
+         replicates every vector 100×; boilerplate embeddings at
+         100 TB) pay LSH + BLAS only at DISTINCT-vector scale.
+      1. candidates: random-projection LSH bucket join (the
          hand-rolled chunked-BLAS ann_lsh_neighbors, streaming its
-         pair output through mapInPandas) at euclidean radius
-         √(2−2·0.4)·1.05 ≈ 1.15 (for unit vectors d² = 2−2·cos; the
-         5% pad absorbs non-unit norm drift), generous bucket_length
-         and NO candidate cap so a near pair colliding in NONE of the
-         8 tables is vanishingly rare (recall 1.0 on all fixture
-         scales — verified against the exact pair set in
-         tests/test_ml.py).
-      2. verify: exact dot product on the candidate id pairs only,
+         pair output through mapInPandas) over REPRESENTATIVES at
+         euclidean radius √(2−2·0.4)·1.05 ≈ 1.15 (for unit vectors
+         d² = 2−2·cos; the 5% pad absorbs non-unit norm drift),
+         generous bucket_length and NO candidate cap so a near pair
+         colliding in NONE of the 8 tables is vanishingly rare
+         (recall 1.0 on all fixture scales — verified against the
+         exact pair set in tests/test_ml.py).
+      2. verify: exact dot product on the representative pairs only,
          keep sim ≥ 0.4.
+      3. expand: member-pair output reconstructed by two JVM equi
+         joins on group id (cross-group pairs) plus one self-join
+         (intra-group pairs, sim = the group's self-dot — members are
+         bit-identical, so this IS the oracle's per-pair dot). The
+         quadratic true-pair OUTPUT still exists — it is the answer —
+         but it streams through whole-stage-codegen joins, never
+         through Python.
 
-    Measured trade (SCALE_r8_sf10.json): the uncapped in-bucket
-    enumeration the recall-1.0 contract requires is quadratic in the
-    densest bucket — 3.54× of linear at the 100×-replicated sf10
-    probe (completes in 630 s; pre-r8 it Arrow-OOMed). At true 100 TB
-    use q_llm_semdedup (√n-cell bounded quadratic) or the capped LSH
-    (0.038× of linear) and accept their recall trade instead.
+    Measured trade: pre-r9 the uncapped in-bucket enumeration ran the
+    100×-replicated fixture's duplicates through BLAS — 3.54× of
+    linear at sf10 (630 s; pre-r8 it Arrow-OOMed). With the distinct
+    pre-group the BLAS work is constant in the duplication factor;
+    what remains quadratic is the emitted pair set itself
+    (output-bound, the q_llm_minhash_banded class). On corpora whose
+    DISTINCT vectors are themselves LSH-dense, use q_llm_semdedup
+    (√n-cell bounded quadratic) or the capped LSH (0.038× of linear)
+    and accept their recall trade instead.
 
     Scale: candidates shuffle by bucket key (never all-pairs), verify
-    joins vectors by id for ~|candidates| rows. The plan contains no
-    BroadcastNestedLoopJoin (asserted in tests/test_plans.py).
+    joins vectors by id for ~|candidates| rows, expansion shuffles on
+    group id. The plan contains no BroadcastNestedLoopJoin (asserted
+    in tests/test_plans.py).
 
     PROBABILISTIC DEPENDENCY (deliberate): every emitted pair is
     exactly verified, so precision is 1.0 by construction, but a true
@@ -221,26 +238,54 @@ def q_llm_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import ann_lsh_neighbors
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # ---- 0. collapse bit-identical vectors ----
+    grp = e.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    membership = e.join(grp, "embedding").select("vec_id", "rep_id")
+    reps = grp.select(F.col("rep_id").alias("vec_id"), "embedding")
+
+    # ---- 1-2. exact-recall LSH + verify, at distinct-vector scale ----
     radius = math.sqrt(2 - 2 * 0.4) * 1.05
     cands = (
-        ann_lsh_neighbors(e, radius=radius, bucket_length=2.0,
+        ann_lsh_neighbors(reps, radius=radius, bucket_length=2.0,
                           num_hash_tables=8, seed=42,
                           # recall 1.0 needs FULL in-bucket
                           # enumeration; no candidate cap here
                           bucket_cap=None)
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .select(F.col("vec_id_a").alias("vec_a"), F.col("vec_id_b").alias("vec_b"))
+        .select(F.col("vec_id_a").alias("rep_a"), F.col("vec_id_b").alias("rep_b"))
         .distinct()
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    sim = dot("va", "vb")
-    return (
-        cands.join(a, "vec_a").join(b, "vec_b")
-        .filter(sim >= 0.4)
-        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
+    ra = reps.select(F.col("vec_id").alias("rep_a"), F.col("embedding").alias("va"))
+    rb = reps.select(F.col("vec_id").alias("rep_b"), F.col("embedding").alias("vb"))
+    rep_sims = (
+        cands.join(ra, "rep_a").join(rb, "rep_b")
+        .filter(dot("va", "vb") >= 0.4)
+        .select("rep_a", "rep_b", dot("va", "vb").alias("sim"))
     )
+
+    # ---- 3. expand back to member pairs ----
+    ma = membership.select(F.col("vec_id").alias("vec_a"),
+                           F.col("rep_id").alias("rep_a"))
+    mb = membership.select(F.col("vec_id").alias("vec_b"),
+                           F.col("rep_id").alias("rep_b"))
+    cross = (
+        rep_sims.join(ma, "rep_a").join(mb, "rep_b")
+        .select(F.least("vec_a", "vec_b").alias("vec_a"),
+                F.greatest("vec_a", "vec_b").alias("vec_b"), "sim")
+    )
+    # intra-group pairs: members are bit-identical, sim = self-dot
+    self_sim = reps.select(F.col("vec_id").alias("rep_a"),
+                           dot("embedding", "embedding").alias("sim"))
+    intra = (
+        ma.join(mb.withColumnRenamed("rep_b", "rep_a"), "rep_a")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .join(self_sim, "rep_a")
+        .filter(F.col("sim") >= 0.4)
+        .select("vec_a", "vec_b", "sim")
+    )
+    return cross.unionAll(intra).select(
+        "vec_a", "vec_b", F.round("sim", 6).alias("sim"))
 
 
 @register(

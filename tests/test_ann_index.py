@@ -1,0 +1,108 @@
+"""Persisted ANN index lifecycle (wave146 / operators/ann_index.py):
+build-once-probe-many, partition-pruned probe scans, staleness guard,
+and recall of the persisted path vs the exact baseline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkit_learn_spark.catalog import load_table
+from sparkit_learn_spark.operators.ann_index import (
+    build_if_stale,
+    load_meta,
+    probe_index,
+    write_index,
+)
+from sparkit_learn_spark.operators.similarity import cosine_topk
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann_idx") / "idx")
+    emb = load_table(spark, SF, "embeddings")
+    write_index(emb, path, seed=42, source_fingerprint="fp-v1")
+    return path
+
+
+def test_meta_roundtrip(spark, index_path):
+    meta = load_meta(spark, index_path)
+    n = load_table(spark, SF, "embeddings").count()
+    assert meta["n_vectors"] == n
+    assert meta["source_fingerprint"] == "fp-v1"
+    assert meta["d"] % meta["m_subspaces"] == 0
+
+
+def test_codes_cover_corpus_exactly_once(spark, index_path):
+    codes = spark.read.parquet(f"{index_path}/codes")
+    emb = load_table(spark, SF, "embeddings")
+    assert codes.count() == emb.count()
+    assert codes.select("id").distinct().count() == emb.count()
+    # hive layout: codes really are partitioned by list_id on disk
+    parts = [p for p in os.listdir(f"{index_path}/codes")
+             if p.startswith("list_id=")]
+    meta = load_meta(spark, index_path)
+    assert 1 <= len(parts) <= meta["n_lists"]
+
+
+def test_build_if_stale_reuses_then_rebuilds(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    emb = load_table(spark, SF, "embeddings")
+    _, rebuilt1 = build_if_stale(emb, path, source_fingerprint="v1", seed=42)
+    assert rebuilt1 is True
+    _, rebuilt2 = build_if_stale(emb, path, source_fingerprint="v1", seed=42)
+    assert rebuilt2 is False  # matching fingerprint -> no retrain
+    _, rebuilt3 = build_if_stale(emb, path, source_fingerprint="v2", seed=42)
+    assert rebuilt3 is True  # fingerprint moved -> rebuild
+
+
+def test_probe_stale_fingerprint_raises(spark, index_path):
+    emb = load_table(spark, SF, "embeddings")
+    panel = emb.orderBy("vec_id").limit(8)
+    with pytest.raises(ValueError, match="stale"):
+        probe_index(spark, index_path, panel, k=5, corpus=emb,
+                    expected_fingerprint="fp-v2")
+
+
+def test_persisted_probe_recall_vs_exact(spark, index_path):
+    """The persisted path must reach the same recall floor as the
+    fresh-build IVF-PQ path (≥0.6 vs exact top-5 on the fixture),
+    and its sims must be exact dots (6dp) for the pairs it returns."""
+    emb = load_table(spark, SF, "embeddings")
+    panel = emb.orderBy("vec_id").limit(64)
+    got = probe_index(spark, index_path, panel, k=5, refine=4,
+                      corpus=emb,
+                      expected_fingerprint="fp-v1").toPandas()
+    exact = (
+        cosine_topk(emb, k=5).join(
+            panel.select(F.col("vec_id").alias("qid")), "qid")
+        .toPandas()
+    )
+    exact_pairs = set(zip(exact.qid, exact.nid))
+    got_pairs = set(zip(got.qid, got.nid))
+    assert len(got_pairs) > 0
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.6, f"persisted-probe recall {recall:.2f}"
+    # exact re-rank contract: returned sims equal the exact path's
+    # sims wherever the pair overlaps
+    exact_sim = {(q, n): s for q, n, s in
+                 zip(exact.qid, exact.nid, exact.sim)}
+    for q, n, s in zip(got.qid, got.nid, got.sim):
+        if (q, n) in exact_sim:
+            assert abs(exact_sim[(q, n)] - s) < 1e-9
+
+
+def test_registered_queries_run(spark):
+    from sparkit_learn_spark.registry import all_queries
+
+    q = all_queries()
+    pers = q["q_llm_ann_persisted"](spark, SF)
+    assert pers.count() > 0
+    cov = q["q_llm_ann_index_coverage"](spark, SF).first()
+    n = load_table(spark, SF, "embeddings").count()
+    assert cov["n_codes"] == n and cov["n_distinct_ids"] == n
