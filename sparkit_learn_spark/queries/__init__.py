@@ -27,6 +27,7 @@ wave68 (kcore oracle wraps ngram_jaccard's SQL).
 
 # --- round-9 driver-sample prefix (new + never-sampled) ---
 from . import wave146  # noqa: F401
+from . import wave147  # noqa: F401
 # --- round-8 driver-sample prefix (new + fixed + never-sampled) ---
 from . import wave133  # noqa: F401
 from . import wave134  # noqa: F401
