@@ -172,6 +172,14 @@ HEADLINE = [
     "q_agg_aqp_estimate",      # hash-sample AQP with error accounting
     "q_dq_t_closeness",        # EMD privacy audit, integer cumsums
     "q_evt_event_study",       # DiD leads/lags with pre-period norm
+    # --- r9 rotations ---
+    "q_llm_embed_cosine_dedup",  # r9 rewrite: distinct-vector pre-group
+    "q_llm_pipeline_funnel_incremental",  # ingest-time funnel (wave147)
+    # q_llm_ann_persisted / q_llm_ann_index_coverage are deliberately
+    # NOT benched: their first call per fixture builds the index
+    # (amortized away on every later call), so their wall time
+    # measures warehouse cache state, not query cost — a cold driver
+    # run vs a warm local baseline would flag phantom regressions.
 ]
 
 
