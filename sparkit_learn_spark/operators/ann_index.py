@@ -71,26 +71,11 @@ def _train(vec: DataFrame, n_lists: int, m_subspaces: int, n_codes: int,
     return C, books, d, ds
 
 
-def write_index(emb: DataFrame, path: str, *, n_lists: int | None = None,
-                m_subspaces: int = 8, n_codes: int = 256, seed: int = 42,
-                id_col: str = "vec_id", vec_col: str = "embedding",
-                source_fingerprint: str = "") -> dict:
-    """Build and persist an IVF-PQ index for ``emb`` under ``path``.
-
-    One corpus pass encodes every vector to (list_id, m one-byte
-    codes); the write shuffles by list_id once (the amortized cost).
-    Returns the meta row as a dict."""
-    spark = emb.sparkSession
-    vec = _spread(emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ))
-    n_total = vec.count()
-    if n_lists is None:
-        n_lists, _ = auto_ivf_params(n_total)
-    C, books, d, ds = _train(vec, n_lists, m_subspaces, n_codes,
-                             seed, n_total)
-    sc = spark.sparkContext
+def _encode_frame(vec: DataFrame, C: np.ndarray, books: list) -> DataFrame:
+    """(id, list_id, codes) for every vector in ``vec`` against a
+    FIXED quantizer — one Arrow pass, broadcast driver state only."""
+    ds = C.shape[1] // len(books)
+    sc = vec.sparkSession.sparkContext
     b_C = sc.broadcast(C)
     b_books = sc.broadcast(books)
 
@@ -113,9 +98,31 @@ def write_index(emb: DataFrame, path: str, *, n_lists: int | None = None,
                                 "list_id": lab.astype("int32"),
                                 "codes": list(codes)})
 
-    encoded = vec.mapInPandas(
+    return vec.mapInPandas(
         encode, schema="id long, list_id int, codes array<long>")
-    (encoded.repartition("list_id")
+
+
+def write_index(emb: DataFrame, path: str, *, n_lists: int | None = None,
+                m_subspaces: int = 8, n_codes: int = 256, seed: int = 42,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                source_fingerprint: str = "") -> dict:
+    """Build and persist an IVF-PQ index for ``emb`` under ``path``.
+
+    One corpus pass encodes every vector to (list_id, m one-byte
+    codes); the write shuffles by list_id once (the amortized cost).
+    Returns the meta row as a dict."""
+    spark = emb.sparkSession
+    vec = _spread(emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ))
+    n_total = vec.count()
+    if n_lists is None:
+        n_lists, _ = auto_ivf_params(n_total)
+    C, books, d, ds = _train(vec, n_lists, m_subspaces, n_codes,
+                             seed, n_total)
+    (_encode_frame(vec, C, books)
+        .repartition("list_id")
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(f"{path}/codes"))
 
@@ -132,11 +139,69 @@ def write_index(emb: DataFrame, path: str, *, n_lists: int | None = None,
     meta = {"n_lists": n_lists, "m_subspaces": m_subspaces,
             "n_codes": n_codes, "d": d, "n_vectors": n_total,
             "seed": seed, "source_fingerprint": source_fingerprint}
+    _write_meta(spark, path, meta)
+    return meta
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
     spark.createDataFrame(
-        [tuple(meta.values())],
+        [(meta["n_lists"], meta["m_subspaces"], meta["n_codes"],
+          meta["d"], meta["n_vectors"], meta["seed"],
+          meta["source_fingerprint"])],
         "n_lists int, m_subspaces int, n_codes int, d int, "
         "n_vectors long, seed int, source_fingerprint string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_to_index(emb_batch: DataFrame, path: str, *,
+                    expected_fingerprint: str, new_fingerprint: str,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> dict:
+    """Add a NEW batch of vectors to a persisted index WITHOUT
+    retraining — the incremental ingest path (faiss ``add`` semantics):
+    the batch is encoded against the EXISTING quantizer/codebooks and
+    its codes are appended to the hive partitions; meta's count and
+    fingerprint advance atomically-enough for the single-writer
+    contract (the driver pipeline is the only writer).
+
+    The quantizer is deliberately frozen: appending never changes
+    earlier codes, so probes stay reproducible and the append cost is
+    batch-sized. The trade is drift — if the batch distribution shifts
+    away from the training sample, new vectors crowd few lists and
+    probe cost rises; monitor with :func:`similarity.ivf_list_balance`
+    and rebuild when cv degrades (documented faiss practice).
+
+    ``expected_fingerprint`` must match the index's current meta
+    (stale-writer guard); ``new_fingerprint`` is recorded as the new
+    corpus identity."""
+    spark = emb_batch.sparkSession
+    meta = load_meta(spark, path)
+    if meta["source_fingerprint"] != expected_fingerprint:
+        raise ValueError(
+            f"append_to_index at {path}: index fingerprint "
+            f"{meta['source_fingerprint']!r} != expected "
+            f"{expected_fingerprint!r} — another writer moved it, or "
+            "the batch was already appended")
+    m = meta["m_subspaces"]
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    C = np.array([r["c"] for r in cent])
+    bk = spark.read.parquet(f"{path}/codebooks").orderBy(
+        "subspace", "code").collect()
+    books = [np.array([r["w"] for r in bk if r["subspace"] == s])
+             for s in range(m)]
+    vec = _spread(emb_batch.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ))
+    n_batch = vec.count()
+    (_encode_frame(vec, C, books)
+        .repartition("list_id")
+        .write.mode("append").partitionBy("list_id")
+        .parquet(f"{path}/codes"))
+    meta = dict(meta)
+    meta["n_vectors"] = int(meta["n_vectors"]) + n_batch
+    meta["source_fingerprint"] = new_fingerprint
+    _write_meta(spark, path, meta)
     return meta
 
 

@@ -106,3 +106,47 @@ def test_registered_queries_run(spark):
     cov = q["q_llm_ann_index_coverage"](spark, SF).first()
     n = load_table(spark, SF, "embeddings").count()
     assert cov["n_codes"] == n and cov["n_distinct_ids"] == n
+
+
+def test_append_extends_index_and_guards_fingerprint(spark, tmp_path):
+    """append_to_index: encodes against the frozen quantizer, extends
+    coverage to the union, advances the fingerprint; a stale expected
+    fingerprint raises; the appended index probes batch vectors."""
+    from sparkit_learn_spark.operators.ann_index import append_to_index
+
+    emb = load_table(spark, SF, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "idx")
+    write_index(hist, path, seed=42, source_fingerprint="v-hist")
+    meta = append_to_index(batch, path, expected_fingerprint="v-hist",
+                           new_fingerprint="v-full")
+    assert meta["n_vectors"] == emb.count()
+    assert meta["source_fingerprint"] == "v-full"
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == emb.count()
+    assert codes.select("id").distinct().count() == emb.count()
+    # double-append with the consumed fingerprint must refuse
+    with pytest.raises(ValueError, match="fingerprint"):
+        append_to_index(batch, path, expected_fingerprint="v-hist",
+                        new_fingerprint="v-full2")
+    # probes over the appended index can return batch vectors as
+    # neighbors and keep the exact-refine recall floor
+    # wide probe schedule: the quantizer saw only 2/3 of a 500-vector
+    # fixture, so default √n_lists probes under-recall here — the
+    # lifecycle contract under test is coverage + probe correctness,
+    # not recall at the auto schedule (that is calibrated elsewhere)
+    panel = emb.orderBy("vec_id").limit(32)
+    got = probe_index(spark, path, panel, k=5, refine=8, n_probe=64,
+                      corpus=emb,
+                      expected_fingerprint="v-full").toPandas()
+    assert len(got) > 0
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    assert any(n in batch_ids for n in got.nid), \
+        "no appended vector ever surfaced as a neighbor"
+    exact = (cosine_topk(emb, k=5)
+             .join(panel.select(F.col("vec_id").alias("qid")), "qid")
+             .toPandas())
+    exact_pairs = set(zip(exact.qid, exact.nid))
+    got_pairs = set(zip(got.qid, got.nid))
+    assert len(exact_pairs & got_pairs) / len(exact_pairs) >= 0.6
