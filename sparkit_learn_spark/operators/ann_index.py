@@ -102,16 +102,14 @@ def _encode_frame(vec: DataFrame, C: np.ndarray, books: list) -> DataFrame:
         encode, schema="id long, list_id int, codes array<long>")
 
 
-def write_index(emb: DataFrame, path: str, *, n_lists: int | None = None,
-                m_subspaces: int = 8, n_codes: int = 256, seed: int = 42,
-                id_col: str = "vec_id", vec_col: str = "embedding",
-                source_fingerprint: str = "") -> dict:
-    """Build and persist an IVF-PQ index for ``emb`` under ``path``.
-
-    One corpus pass encodes every vector to (list_id, m one-byte
-    codes); the write shuffles by list_id once (the amortized cost).
-    Returns the meta row as a dict."""
-    spark = emb.sparkSession
+def train_quantizer(emb: DataFrame, *, n_lists: int | None = None,
+                    m_subspaces: int = 8, n_codes: int = 256,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> tuple:
+    """Train the IVF-PQ quantizer ONCE on a bounded global sample and
+    return (centroids, codebooks) for handing to shard builders
+    (write_index's ``quantizer=``). One count job + one bounded
+    collect; corpus-size-independent driver state."""
     vec = _spread(emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -119,8 +117,45 @@ def write_index(emb: DataFrame, path: str, *, n_lists: int | None = None,
     n_total = vec.count()
     if n_lists is None:
         n_lists, _ = auto_ivf_params(n_total)
-    C, books, d, ds = _train(vec, n_lists, m_subspaces, n_codes,
-                             seed, n_total)
+    C, books, _d, _ds = _train(vec, n_lists, m_subspaces, n_codes,
+                               seed, n_total)
+    return C, books
+
+
+def write_index(emb: DataFrame, path: str, *, n_lists: int | None = None,
+                m_subspaces: int = 8, n_codes: int = 256, seed: int = 42,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                source_fingerprint: str = "",
+                quantizer: tuple | None = None) -> dict:
+    """Build and persist an IVF-PQ index for ``emb`` under ``path``.
+
+    One corpus pass encodes every vector to (list_id, m one-byte
+    codes); the write shuffles by list_id once (the amortized cost).
+    Returns the meta row as a dict.
+
+    ``quantizer=(C, books)`` skips training and encodes against the
+    given centroids/codebooks — the SHARD-PARALLEL build path: train
+    the quantizer once on a global sample, hand it to every shard
+    builder, then :func:`merge_indexes` the shard outputs (faiss's
+    distributed-build recipe; at 100 TB the encode pass is the
+    parallel part and training is one bounded-sample job)."""
+    spark = emb.sparkSession
+    vec = _spread(emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ))
+    n_total = vec.count()
+    if quantizer is not None:
+        C, books = quantizer
+        n_lists = len(C)
+        m_subspaces = len(books)
+        n_codes = len(books[0])
+        d = C.shape[1]
+    else:
+        if n_lists is None:
+            n_lists, _ = auto_ivf_params(n_total)
+        C, books, d, _ds = _train(vec, n_lists, m_subspaces, n_codes,
+                                  seed, n_total)
     (_encode_frame(vec, C, books)
         .repartition("list_id")
         .write.mode("overwrite").partitionBy("list_id")
@@ -182,13 +217,7 @@ def append_to_index(emb_batch: DataFrame, path: str, *,
             f"{meta['source_fingerprint']!r} != expected "
             f"{expected_fingerprint!r} — another writer moved it, or "
             "the batch was already appended")
-    m = meta["m_subspaces"]
-    cent = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
-    C = np.array([r["c"] for r in cent])
-    bk = spark.read.parquet(f"{path}/codebooks").orderBy(
-        "subspace", "code").collect()
-    books = [np.array([r["w"] for r in bk if r["subspace"] == s])
-             for s in range(m)]
+    C, books = read_quantizer(spark, path, meta["m_subspaces"])
     vec = _spread(emb_batch.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -208,6 +237,66 @@ def append_to_index(emb_batch: DataFrame, path: str, *,
 def load_meta(spark: SparkSession, path: str) -> dict:
     """The index's meta row (raises if the index does not exist)."""
     return spark.read.parquet(f"{path}/meta").first().asDict()
+
+
+def read_quantizer(spark: SparkSession, path: str,
+                   m_subspaces: int) -> tuple:
+    """(centroids ndarray, codebook list) — the driver-side state."""
+    cent = spark.read.parquet(f"{path}/centroids").orderBy(
+        "list_id").collect()
+    C = np.array([r["c"] for r in cent])
+    bk = spark.read.parquet(f"{path}/codebooks").orderBy(
+        "subspace", "code").collect()
+    books = [np.array([r["w"] for r in bk if r["subspace"] == s])
+             for s in range(m_subspaces)]
+    return C, books
+
+
+def merge_indexes(spark: SparkSession, paths: list[str], out: str, *,
+                  source_fingerprint: str = "") -> dict:
+    """Merge SHARD indexes built against ONE shared quantizer into a
+    single index at ``out`` — the reduce step of the shard-parallel
+    build (see :func:`write_index`'s ``quantizer=``). Refuses shards
+    whose quantizers differ (layout params or centroid bytes): codes
+    from different quantizers are mutually meaningless, and a silent
+    mix would probe as garbage.
+
+    Scale: the merge is ONE partitioned read-union-write of code rows
+    (8 B/vector) — no vector math, no quantizer state beyond the
+    shared one copied through."""
+    if len(paths) < 2:
+        raise ValueError("merge_indexes needs at least two shards")
+    metas = [load_meta(spark, p) for p in paths]
+    layout_keys = ("n_lists", "m_subspaces", "n_codes", "d", "seed")
+    layouts = {tuple(m[k] for k in layout_keys) for m in metas}
+    if len(layouts) != 1:
+        raise ValueError(f"merge_indexes: shard layouts differ: {layouts}")
+    quants = [read_quantizer(spark, p, metas[0]["m_subspaces"])
+              for p in paths]
+    C0, books0 = quants[0]
+    for C, books in quants[1:]:
+        if not (np.array_equal(C0, C)
+                and all(np.array_equal(a, b)
+                        for a, b in zip(books0, books))):
+            raise ValueError(
+                "merge_indexes: shard quantizers differ — shards must "
+                "be encoded against ONE shared quantizer "
+                "(write_index(quantizer=...))")
+    codes = spark.read.parquet(f"{paths[0]}/codes")
+    for p in paths[1:]:
+        codes = codes.unionByName(spark.read.parquet(f"{p}/codes"))
+    (codes.repartition("list_id")
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(f"{out}/codes"))
+    spark.read.parquet(f"{paths[0]}/centroids").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{out}/centroids")
+    spark.read.parquet(f"{paths[0]}/codebooks").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{out}/codebooks")
+    meta = dict(metas[0])
+    meta["n_vectors"] = int(sum(m["n_vectors"] for m in metas))
+    meta["source_fingerprint"] = source_fingerprint
+    _write_meta(spark, out, meta)
+    return meta
 
 
 def build_if_stale(emb: DataFrame, path: str, *,
@@ -255,12 +344,7 @@ def probe_index(spark: SparkSession, path: str, queries: DataFrame, *,
         n_probe = max(4, min(meta["n_lists"],
                              round(meta["n_lists"] ** 0.5)))
 
-    cent = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
-    C = np.array([r["c"] for r in cent])
-    bk = spark.read.parquet(f"{path}/codebooks").orderBy(
-        "subspace", "code").collect()
-    books = [np.array([r["w"] for r in bk if r["subspace"] == s])
-             for s in range(m)]
+    C, books = read_quantizer(spark, path, m)
 
     qv = queries.select(F.col(id_col).alias("qid"),
                         F.col(vec_col).cast("array<double>").alias("qv"))

@@ -12,7 +12,7 @@ incremental corpus-prep funnel — 3 queries), (b) llm_pipeline2
 q_llm_embed_cosine_dedup under the driver's own check), then (c)
 never-driver-sampled fully-oracled modules to fill the remaining 39
 slots exactly: projections(7) wave9(6) wave11(6) joins2(5)
-sql_surface(5) semistructured(4) scans(3) wave148(1) sources_q(2).
+sql_surface(5) semistructured(4) scans(3) wave148(2) sources_q(1st).
 
 The composition is NOT hand-counted here (the r8 hand-count went
 stale — ADVICE r9): tests/test_registry_prefix.py asserts the actual
@@ -35,8 +35,8 @@ from . import joins2  # noqa: F401  (5)
 from . import sql_surface  # noqa: F401  (5)
 from . import semistructured  # noqa: F401  (4)
 from . import scans  # noqa: F401  (3)
-from . import wave148  # noqa: F401  (1: ann_index_append)
-from . import sources_q  # noqa: F401  (2)
+from . import wave148  # noqa: F401  (2: index append + merge)
+from . import sources_q  # noqa: F401  (2; #50 boundary splits it)
 # --- round-8 prefix (already driver-confirmed in r8) ---
 from . import wave133  # noqa: F401
 from . import wave134  # noqa: F401

@@ -150,3 +150,56 @@ def test_append_extends_index_and_guards_fingerprint(spark, tmp_path):
     exact_pairs = set(zip(exact.qid, exact.nid))
     got_pairs = set(zip(got.qid, got.nid))
     assert len(exact_pairs & got_pairs) / len(exact_pairs) >= 0.6
+
+
+def test_merge_equals_whole_build_with_shared_quantizer(spark, tmp_path):
+    """Shard-parallel build law: with ONE shared quantizer, encoding
+    shards independently and merging the code partitions yields
+    EXACTLY the codes of a single whole-corpus encode (same quantizer
+    ⇒ same (id, list, codes) rows — set equality, not approximation),
+    so probes over merged and whole-built indexes agree row-for-row."""
+    from sparkit_learn_spark.operators.ann_index import (
+        merge_indexes, train_quantizer)
+
+    emb = load_table(spark, SF, "embeddings")
+    q = train_quantizer(emb, seed=42)
+    base = str(tmp_path)
+    write_index(emb.filter(F.col("vec_id") % 2 == 0), f"{base}/s0",
+                quantizer=q, source_fingerprint="s0")
+    write_index(emb.filter(F.col("vec_id") % 2 == 1), f"{base}/s1",
+                quantizer=q, source_fingerprint="s1")
+    meta = merge_indexes(spark, [f"{base}/s0", f"{base}/s1"],
+                         f"{base}/merged", source_fingerprint="m")
+    write_index(emb, f"{base}/whole", quantizer=q,
+                source_fingerprint="w")
+    assert meta["n_vectors"] == emb.count()
+
+    def codeset(path):
+        return {(r["id"], r["list_id"], tuple(r["codes"])) for r in
+                spark.read.parquet(f"{path}/codes").collect()}
+
+    assert codeset(f"{base}/merged") == codeset(f"{base}/whole")
+    # probe equivalence on a panel
+    panel = emb.orderBy("vec_id").limit(16)
+    a = probe_index(spark, f"{base}/merged", panel, k=5, corpus=emb,
+                    expected_fingerprint="m").toPandas()
+    b = probe_index(spark, f"{base}/whole", panel, k=5, corpus=emb,
+                    expected_fingerprint="w").toPandas()
+    key = ["qid", "rn"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_merge_refuses_mismatched_quantizers(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    from sparkit_learn_spark.operators.ann_index import merge_indexes
+
+    base = str(tmp_path)
+    # independently-trained shards -> different quantizers
+    write_index(emb.filter(F.col("vec_id") % 2 == 0), f"{base}/a",
+                seed=1, n_lists=8, source_fingerprint="a")
+    write_index(emb.filter(F.col("vec_id") % 2 == 1), f"{base}/b",
+                seed=2, n_lists=8, source_fingerprint="b")
+    with pytest.raises(ValueError, match="quantizers differ|layouts differ"):
+        merge_indexes(spark, [f"{base}/a", f"{base}/b"], f"{base}/out")

@@ -39,8 +39,9 @@ EXPECTED_FIRST_50 = [
     "q_array_funcs", "q_array_explode", "q_json_funcs", "q_map_funcs",
     # scans (3)
     "q_scan_parquet", "q_scan_pruned", "q_scan_union_sf",
-    # wave148 (1) + sources_q (2)
-    "q_llm_ann_index_append", "q_scan_pysource", "q_json_variant",
+    # wave148 (2) + sources_q (first 1; q_json_variant rotates next)
+    "q_llm_ann_index_append", "q_llm_ann_index_merge",
+    "q_scan_pysource",
 ]
 
 
