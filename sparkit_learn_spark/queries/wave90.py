@@ -27,11 +27,27 @@ def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the end — no float summation order anywhere, so the ranking is
     exactly oracled against a recursive-CTE min-distance closure.
 
-    Scale: multi-source frontier BFS as three edge-grain hash joins
-    with a (src, node) min-dist re-aggregate — work is paths-touched
-    at hop ≤3 (near-dup clusters are tiny blobs), state is node-pair
-    grain, iterations fixed. The 6/dist integerization generalizes to
-    any bounded hop count via lcm(1..k)."""
+    Scale (r9 rewrite): duplicate-heavy corpora make the raw node-pair
+    closure quadratic — the 100×-replicated sf10 fixture turns every
+    document into a ~100-clique of TRUE TWINS (identical closed
+    neighborhoods), and the r8 form measured 2.57× of linear there.
+    The rewrite collapses true twins BEFORE the closure (the graph
+    analogue of q_llm_embed_cosine_dedup's distinct-vector pre-group):
+
+      1. closed-neighborhood fingerprint per node (edge-grain
+         aggregate, one array per node) groups true twins — exact,
+         array-equality grouping, no hashing;
+      2. the 3-hop min-dist closure runs on the QUOTIENT graph
+         (true-twin quotients preserve inter-group distances exactly;
+         twins are mutually adjacent, so intra-group dist = 1);
+      3. per-node results expand analytically: h6(u∈A) =
+         6·(|A|−1) + Σ_B |B|·w6(dist(A,B)) — group-grain aggregates,
+         one node-grain join, no pair state at node grain.
+
+    Work is quotient-pairs, constant in the duplication factor; the
+    node-pair closure no longer exists at any grain. Iterations
+    fixed; the 6/dist integerization generalizes to any bounded hop
+    count via lcm(1..k)."""
     pairs = q_llm_ngram_jaccard(spark, sf_dir)
     sym = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -39,16 +55,40 @@ def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    best = sym.select("src", "dst", F.lit(1).alias("dist"))
+    # ---- 1. true-twin collapse (closed-neighborhood equality) ----
+    closed = sym.groupBy(F.col("src").alias("node")).agg(
+        F.sort_array(
+            F.array_union(F.collect_set("dst"),
+                          F.array(F.col("src")))).alias("cn"))
+    grp = closed.groupBy("cn").agg(F.min("node").alias("gid"))
+    member = closed.join(grp, "cn").select("node", "gid")
+    sizes = member.groupBy("gid").agg(F.count("*").alias("gsz"))
+    member = member.localCheckpoint(eager=True)
+    # quotient edges (self-loops = intra-group adjacency, handled
+    # analytically in step 3)
+    ms = member.select(F.col("node").alias("src"), F.col("gid").alias("ga"))
+    md_ = member.select(F.col("node").alias("dst"), F.col("gid").alias("gb"))
+    qedges = (
+        sym.join(ms, "src").join(md_, "dst")
+        .filter(F.col("ga") != F.col("gb"))
+        .select(F.col("ga").alias("src"), F.col("gb").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # ---- 2. 3-hop min-dist closure at group grain ----
+    best = qedges.select("src", "dst", F.lit(1).alias("dist"))
     for k in (2, 3):
         frontier = best.filter(F.col("dist") == k - 1).select(
             F.col("src").alias("fsrc"), F.col("dst").alias("fdst")
         )
-        e2 = sym.select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
+        e2 = qedges.select(F.col("src").alias("esrc"),
+                           F.col("dst").alias("edst"))
         ext = (
             frontier.join(e2, frontier["fdst"] == e2["esrc"])
             .filter(F.col("fsrc") != F.col("edst"))
-            .select(F.col("fsrc").alias("src"), F.col("edst").alias("dst"), F.lit(k).alias("dist"))
+            .select(F.col("fsrc").alias("src"),
+                    F.col("edst").alias("dst"),
+                    F.lit(k).alias("dist"))
         )
         best = (
             best.union(ext)
@@ -56,22 +96,30 @@ def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
+    # ---- 3. analytic per-node expansion ----
     w6 = (
         F.when(F.col("dist") == 1, 6)
         .when(F.col("dist") == 2, 3)
         .otherwise(2)
         .cast("long")
     )
+    inter = (
+        best.join(sizes.select(F.col("gid").alias("dst"),
+                               F.col("gsz").alias("bsz")), "dst")
+        .groupBy(F.col("src").alias("gid"))
+        .agg(F.sum(F.col("bsz") * w6).alias("h6_inter"),
+             F.sum("bsz").alias("n_inter"))
+    )
     return (
-        best.groupBy(F.col("src").alias("doc_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_reached_3hop"),
-            F.sum(w6).alias("h6"),
-        )
+        member.join(sizes, "gid").join(inter, "gid", "left")
         .select(
-            "doc_id",
-            "n_reached_3hop",
-            F.round(F.col("h6").cast("double") / 6.0, 6).alias("harmonic"),
+            F.col("node").alias("doc_id"),
+            (F.col("gsz") - 1 + F.coalesce("n_inter", F.lit(0)))
+            .cast("long").alias("n_reached_3hop"),
+            F.round(
+                ((F.col("gsz") - 1) * 6
+                 + F.coalesce("h6_inter", F.lit(0))).cast("double") / 6.0,
+                6).alias("harmonic"),
         )
     )
 
