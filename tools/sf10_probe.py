@@ -111,6 +111,22 @@ def main() -> None:
                 row["t_big"] / (FACTOR * row["t_small"]), 3)
         except Exception as e:  # noqa: BLE001
             row["error"] = f"{type(e).__name__}: {e}"[:300]
+            # r9: a budget/OOM kill can leave a context that still
+            # reports isStopped()=False while every job fails — the
+            # r9 graph probe cascaded 6 dead-session errors that way.
+            # After ANY error, tear the session down hard so the next
+            # query provably starts fresh.
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001
+                pass
+            try:
+                from pyspark.sql import SparkSession
+                SparkSession._instantiatedSession = None
+                SparkSession._activeSession = None
+            except Exception:  # noqa: BLE001
+                pass
+            spark = fresh_session()
         results[name] = row
         persist()
         print(f"[{i}/{len(names)}] {name}: {row}", flush=True)
