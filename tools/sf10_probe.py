@@ -58,6 +58,11 @@ def main() -> None:
     from sparkit_learn_spark.registry import all_queries
     from sparkit_learn_spark.session import get_session
 
+    # r9: the engine's 8g driver default OOM-killed the sf10 graph
+    # pipelines (pagerank/ppr at 100x in one JVM); probes need a
+    # host-sized heap unless the caller pins one
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
     def fresh_session():
         s = get_session(
             "sf10-probe",
