@@ -203,3 +203,59 @@ def test_merge_refuses_mismatched_quantizers(spark, tmp_path):
                 seed=2, n_lists=8, source_fingerprint="b")
     with pytest.raises(ValueError, match="quantizers differ|layouts differ"):
         merge_indexes(spark, [f"{base}/a", f"{base}/b"], f"{base}/out")
+
+
+def test_stream_ingest_appends_index_across_restart(spark, tmp_path):
+    """Streaming index ingest: a document stream lands in the
+    persisted index via foreachBatch -> append_to_index, across TWO
+    availableNow triggers with a query restart between them — the
+    production shape for continuous vector ingest (micro-batch =
+    one frozen-quantizer append; the fingerprint ladder makes each
+    epoch a guarded single-writer step). Final index must cover
+    base + both trigger batches exactly once."""
+    import os
+
+    from sparkit_learn_spark.operators.ann_index import append_to_index
+
+    emb = load_table(spark, SF, "embeddings")
+    base_half = emb.filter(F.col("vec_id") % 2 == 0)
+    stream_half = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    write_index(base_half, idx, seed=42, source_fingerprint="epoch:0")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t1 = stream_half.filter(F.col("vec_id") % 4 == 1)
+    t2 = stream_half.filter(F.col("vec_id") % 4 == 3)
+    t1.coalesce(1).write.parquet(src + "/t1.dir")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        cur = load_meta(batch_df.sparkSession, idx)["source_fingerprint"]
+        append_to_index(batch_df, idx,
+                        expected_fingerprint=cur,
+                        new_fingerprint=f"{cur}+b{batch_id}")
+
+    def run_available():
+        stream = (spark.readStream.schema(emb.schema)
+                  .option("recursiveFileLookup", "true").parquet(src))
+        q = (stream.writeStream.foreachBatch(ingest)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_available()
+    n_after_t1 = load_meta(spark, idx)["n_vectors"]
+    assert n_after_t1 == base_half.count() + t1.count()
+    t2.coalesce(1).write.parquet(src + "/t2.dir")
+    run_available()  # restart from the checkpoint
+    meta = load_meta(spark, idx)
+    assert meta["n_vectors"] == emb.count()
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == emb.count()
+    assert codes.select("id").distinct().count() == emb.count()
+    # the restarted query must NOT have re-appended trigger-1 files
+    # (exactly-once via the checkpoint's file-source log)
+    assert meta["source_fingerprint"].count("+b") == 2
