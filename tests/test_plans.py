@@ -593,3 +593,24 @@ def test_topk_group_uses_window_group_limit(spark, sf_dir):
     df = Q["q_win_topk_group"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_ann_index_probe_scan_is_partition_pruned(spark, tmp_path):
+    """The persisted-index probe must READ ONLY the probed lists'
+    code partitions: the parquet scan of {index}/codes must carry a
+    list_id PartitionFilter (hive pruning), not scan-all-then-filter
+    — at 100 TB this is the difference between a probe that reads
+    √n_lists of the corpus codes and one that reads all of them."""
+    from sparkit_learn_spark.catalog import load_table
+    from sparkit_learn_spark.operators.ann_index import write_index
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    idx = str(tmp_path / "idx")
+    write_index(emb, idx, seed=42, source_fingerprint="p")
+    codes = (spark.read.parquet(f"{idx}/codes")
+             .filter(F.col("list_id").isin([0, 1, 2])))
+    plan = explain_str(codes)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "list_id" in pf, f"list_id not in partition filters: {pf}"
