@@ -196,3 +196,49 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
             ranks = new_ranks
     both.unpersist()  # final ranks are checkpointed; edge blocks free
     return ranks
+
+
+def twin_quotient(sym: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Collapse TRUE TWINS — nodes with identical CLOSED neighborhoods
+    (mutually adjacent, same neighbors) — into quotient groups.
+
+    Returns ``(member, sizes, qedges)``:
+      member  (node, gid)   gid = min node id of the group
+      sizes   (gid, gsz)
+      qedges  (src, dst)    SYMMETRIC quotient adjacency, self-loop
+                            free (intra-group adjacency is implied:
+                            true twins are mutually adjacent)
+
+    Why it exists (r9): duplicate-heavy corpora — boilerplate at
+    100 TB, the 100×-replicated scale fixture — turn every document
+    into a clique of true twins, and any node-pair-grain graph
+    algorithm (k-hop closures, triangle joins) goes quadratic/cubic
+    in the duplication factor. True-twin quotients preserve
+    inter-group distances and adjacency EXACTLY (all cross pairs of
+    adjacent groups are edges; twins are interchangeable on any
+    path), so closures/counts run at quotient grain and expand
+    analytically per node. Exactness is pinned by the DuckDB oracles
+    of every query built on this (harmonic, triangles, clustering).
+
+    ``sym`` must be a SYMMETRIC edge list with columns (src, dst).
+    Cost: one edge-grain aggregate (closed-neighborhood arrays), one
+    array-equality group, two membership joins — all linear in edges.
+    """
+    closed = sym.groupBy(F.col("src").alias("node")).agg(
+        F.sort_array(
+            F.array_union(F.collect_set("dst"),
+                          F.array(F.col("src")))).alias("cn"))
+    grp = closed.groupBy("cn").agg(F.min("node").alias("gid"))
+    member = closed.join(grp, "cn").select("node", "gid") \
+        .localCheckpoint(eager=True)
+    sizes = member.groupBy("gid").agg(F.count("*").alias("gsz"))
+    ms = member.select(F.col("node").alias("src"), F.col("gid").alias("ga"))
+    md = member.select(F.col("node").alias("dst"), F.col("gid").alias("gb"))
+    qedges = (
+        sym.join(ms, "src").join(md, "dst")
+        .filter(F.col("ga") != F.col("gb"))
+        .select(F.col("ga").alias("src"), F.col("gb").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return member, sizes, qedges

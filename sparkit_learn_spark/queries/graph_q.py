@@ -175,26 +175,81 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle x<y<z is enumerated exactly once by the two-hop join
     e(x,y) ⋈ e(y,z) ⋈ e(x,z).
 
-    Scale: the standard edge-edge triangle join (shuffles edge-grain,
-    never all-pairs); the edge list is checkpointed ONCE so the
-    expensive pair-verify lineage doesn't execute per join leg. At
-    true scale, orient edges by (degree, id) instead of raw id — the
-    same plan with skew moved off high-degree hubs."""
+    Scale (r9 rewrite): duplicate cliques make the raw edge-edge
+    triangle join CUBIC in the duplication factor — the 100×-
+    replicated sf10 fixture (every doc a ~100-clique of true twins,
+    C(100,3) ≈ 161k triangles per group) GC-killed a 48 GB JVM. The
+    rewrite collapses true twins first (operators/graph.twin_quotient,
+    the q_graph_harmonic discipline) and counts analytically: for
+    node u in group A with quotient neighbors N(A),
+
+      T(u) = C(|A|−1, 2)                      two twins of u
+           + Σ_{B∈N(A)} (|A|−1)·|B| + C(|B|,2)  twin+neighbor / two
+                                                same-group neighbors
+           + Σ_{B,C∈N(A), B~C} |B|·|C|          quotient triangles
+
+    so the only enumeration left is quotient-grain. Exact — the
+    DuckDB oracle is unchanged. At true scale, orient quotient edges
+    by (degree, id) — same plan with skew moved off hubs."""
+    from ..operators.graph import twin_quotient
+
     pairs = q_llm_ngram_jaccard(spark, sf_dir)
-    e = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-         .localCheckpoint(eager=True))
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(e3, (F.col("e3.a") == F.col("e1.a"))
-              & (F.col("e3.b") == F.col("e2.b")))
-        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
-                F.col("e2.b").alias("z"))
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = (e.unionAll(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))))
+    member, sizes, qedges = twin_quotient(sym)
+    tri_g = _twin_triangle_counts(sizes, qedges)
+    return (
+        member.join(tri_g, "gid")
+        .filter(F.col("t") > 0)
+        .select(F.col("node").alias("doc_id"),
+                F.col("t").alias("n_triangles"))
+    )
+
+
+def _twin_triangle_counts(sizes: DataFrame, qedges: DataFrame) -> DataFrame:
+    """(gid, t): triangles containing each member of group gid, from
+    quotient-grain structure only (see q_graph_triangles formula)."""
+    nb = (
+        qedges.join(sizes.select(F.col("gid").alias("dst"),
+                                 F.col("gsz").alias("bsz")), "dst")
+        .groupBy(F.col("src").alias("gid"))
+        .agg(F.sum("bsz").alias("nbr_sz"),
+             F.sum((F.col("bsz") * (F.col("bsz") - 1)) / 2)
+             .cast("long").alias("nbr_c2"))
+    )
+    # quotient triangles via the canonical x<y<z edge-edge join
+    qe = qedges.filter(F.col("src") < F.col("dst")).localCheckpoint(True)
+    q1, q2, q3 = qe.alias("q1"), qe.alias("q2"), qe.alias("q3")
+    tq = (
+        q1.join(q2, F.col("q1.dst") == F.col("q2.src"))
+        .join(q3, (F.col("q3.src") == F.col("q1.src"))
+              & (F.col("q3.dst") == F.col("q2.dst")))
+        .select(F.col("q1.src").alias("x"), F.col("q1.dst").alias("y"),
+                F.col("q2.dst").alias("z"))
+    )
+    sx = sizes.select(F.col("gid").alias("x"), F.col("gsz").alias("szx"))
+    sy = sizes.select(F.col("gid").alias("y"), F.col("gsz").alias("szy"))
+    sz_ = sizes.select(F.col("gid").alias("z"), F.col("gsz").alias("szz"))
+    tq = tq.join(sx, "x").join(sy, "y").join(sz_, "z")
+    t3 = (
+        tq.select(F.col("x").alias("gid"),
+                  (F.col("szy") * F.col("szz")).alias("c"))
+        .unionAll(tq.select(F.col("y"), F.col("szx") * F.col("szz")))
+        .unionAll(tq.select(F.col("z"), F.col("szx") * F.col("szy")))
+        .groupBy("gid").agg(F.sum("c").alias("t3"))
     )
     return (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_triangles"))
+        sizes.join(nb, "gid", "left").join(t3, "gid", "left")
+        .select(
+            "gid",
+            (
+                ((F.col("gsz") - 1) * (F.col("gsz") - 2) / 2).cast("long")
+                + (F.col("gsz") - 1) * F.coalesce("nbr_sz", F.lit(0))
+                + F.coalesce("nbr_c2", F.lit(0))
+                + F.coalesce("t3", F.lit(0))
+            ).cast("long").alias("t"),
+        )
     )
 
 
@@ -225,31 +280,39 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle counts both derive from ONE checkpointed edge list, so
     the pair-verify lineage runs once.
 
-    Scale: edge-grain joins + node-grain aggregates, same envelope as
-    q_graph_triangles."""
+    Scale (r9 rewrite): same true-twin quotient as q_graph_triangles
+    — both the degree and the triangle count expand analytically per
+    group (deg(u∈A) = |A|−1 + Σ_{B∈N(A)} |B|), so nothing touches
+    node-pair grain and duplicate cliques cost quotient work only.
+    Exact; oracle unchanged."""
+    from ..operators.graph import twin_quotient
+
     pairs = q_llm_ngram_jaccard(spark, sf_dir)
-    e = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-         .localCheckpoint(eager=True))
-    deg = (e.select(F.explode(F.array("a", "b")).alias("doc_id"))
-           .groupBy("doc_id").agg(F.count("*").alias("degree")))
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(e3, (F.col("e3.a") == F.col("e1.a"))
-              & (F.col("e3.b") == F.col("e2.b")))
-        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
-                F.col("e2.b").alias("z"))
-        .select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
-        .groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = (e.unionAll(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))))
+    member, sizes, qedges = twin_quotient(sym)
+    tri_g = _twin_triangle_counts(sizes, qedges)
+    nbr = (
+        qedges.join(sizes.select(F.col("gid").alias("dst"),
+                                 F.col("gsz").alias("bsz")), "dst")
+        .groupBy(F.col("src").alias("gid"))
+        .agg(F.sum("bsz").alias("nbr_sz"))
+    )
+    deg_g = (
+        sizes.join(nbr, "gid", "left")
+        .select("gid",
+                (F.col("gsz") - 1 + F.coalesce("nbr_sz", F.lit(0)))
+                .cast("long").alias("degree"))
     )
     return (
-        deg.filter(F.col("degree") >= 2)
-        .join(tri, "doc_id", "left")
+        member.join(deg_g, "gid").join(tri_g, "gid")
+        .filter(F.col("degree") >= 2)
         .select(
-            "doc_id",
+            F.col("node").alias("doc_id"),
             "degree",
             F.round(
-                2.0 * F.coalesce(F.col("n_tri"), F.lit(0))
+                2.0 * F.col("t")
                 / (F.col("degree") * (F.col("degree") - 1)),
                 6,
             ).alias("clustering_coeff"),

@@ -55,26 +55,10 @@ def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # ---- 1. true-twin collapse (closed-neighborhood equality) ----
-    closed = sym.groupBy(F.col("src").alias("node")).agg(
-        F.sort_array(
-            F.array_union(F.collect_set("dst"),
-                          F.array(F.col("src")))).alias("cn"))
-    grp = closed.groupBy("cn").agg(F.min("node").alias("gid"))
-    member = closed.join(grp, "cn").select("node", "gid")
-    sizes = member.groupBy("gid").agg(F.count("*").alias("gsz"))
-    member = member.localCheckpoint(eager=True)
-    # quotient edges (self-loops = intra-group adjacency, handled
-    # analytically in step 3)
-    ms = member.select(F.col("node").alias("src"), F.col("gid").alias("ga"))
-    md_ = member.select(F.col("node").alias("dst"), F.col("gid").alias("gb"))
-    qedges = (
-        sym.join(ms, "src").join(md_, "dst")
-        .filter(F.col("ga") != F.col("gb"))
-        .select(F.col("ga").alias("src"), F.col("gb").alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # ---- 1. true-twin collapse (operators/graph.twin_quotient) ----
+    from ..operators.graph import twin_quotient
+
+    member, sizes, qedges = twin_quotient(sym)
     # ---- 2. 3-hop min-dist closure at group grain ----
     best = qedges.select("src", "dst", F.lit(1).alias("dist"))
     for k in (2, 3):
