@@ -69,8 +69,12 @@ def main() -> None:
             master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
             extra_confs={
                 "spark.ui.enabled": "false",
-                # 60M-row shuffles: keep partitions ~128MB-shaped
-                "spark.sql.shuffle.partitions": "64",
+                # 60M-row shuffles: keep partitions ~128MB-shaped.
+                # Quadratic-output pair pipelines (near-dup graph at
+                # the replica fixture) need MORE partitions so each
+                # task's aggregation state fits — override via env.
+                "spark.sql.shuffle.partitions": os.environ.get(
+                    "SPARK_GRAFT_PROBE_SHUFFLE", "64"),
             },
         )
         s.sparkContext.setLogLevel("ERROR")
