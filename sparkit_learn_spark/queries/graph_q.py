@@ -195,8 +195,15 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q_llm_ngram_jaccard(spark, sf_dir)
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # pin the symmetric edge list BEFORE the quotient: twin_quotient
+    # consumes it three times (neighborhood agg + two membership
+    # joins), and without the checkpoint each consumer re-runs the
+    # whole candidate-verify pair pipeline fused into one oversized
+    # codegen stage (the wave90 discipline; un-pinned, the sf10 run
+    # heap-OOMs inside the fused aggregation)
     sym = (e.unionAll(e.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst"))))
+                               F.col("src").alias("dst")))
+           .distinct().localCheckpoint(eager=True))
     member, sizes, qedges = twin_quotient(sym)
     tri_g = _twin_triangle_counts(sizes, qedges)
     return (
@@ -289,8 +296,15 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q_llm_ngram_jaccard(spark, sf_dir)
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # pin the symmetric edge list BEFORE the quotient: twin_quotient
+    # consumes it three times (neighborhood agg + two membership
+    # joins), and without the checkpoint each consumer re-runs the
+    # whole candidate-verify pair pipeline fused into one oversized
+    # codegen stage (the wave90 discipline; un-pinned, the sf10 run
+    # heap-OOMs inside the fused aggregation)
     sym = (e.unionAll(e.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst"))))
+                               F.col("src").alias("dst")))
+           .distinct().localCheckpoint(eager=True))
     member, sizes, qedges = twin_quotient(sym)
     tri_g = _twin_triangle_counts(sizes, qedges)
     nbr = (
