@@ -139,6 +139,17 @@ def main() -> None:
         results[name] = row
         persist()
         print(f"[{i}/{len(names)}] {name}: {row}", flush=True)
+        # r9: queries pin localCheckpoint blocks they never unpersist
+        # (the returned frames are discarded here, but the JVM RDDs
+        # survive until ContextCleaner sees them garbage-collected).
+        # Force a GC cycle between queries so one session's storage
+        # doesn't accumulate across the sweep — without this, query
+        # N's spill-read buffers OOMed on query N-1's leftover blocks.
+        try:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2)
+        except Exception:  # noqa: BLE001
+            pass
     spark.stop()
 
 
