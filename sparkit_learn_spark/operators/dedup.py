@@ -121,6 +121,16 @@ def shingle_pair_common_counts(index: DataFrame, *, id_col: str = "doc_id",
     max_df) shingles are counted separately over the tiny hot slice
     and added back, so n_common stays exact over the FULL index while
     candidate generation stays bounded by max_df² per bucket.
+
+    AQE caveat (r9, measured at the 100× fixture): adaptive partition
+    COALESCING sizes post-shuffle partitions by MAP-OUTPUT bytes, but
+    this self-join's OUTPUT is quadratic in bucket density — coalesced
+    partitions concentrate multi-GB pair-aggregation maps on a handful
+    of tasks and can OOM executors that plain fixed partitioning
+    handles easily. On duplicate-heavy corpora run this stage with
+    ``spark.sql.adaptive.coalescePartitions.enabled=false`` (or a
+    small advisoryPartitionSizeInBytes) — the skew-OPPOSITE failure
+    mode.
     """
     hot = (
         index.groupBy("sh").agg(F.count("*").alias("df"))

@@ -75,6 +75,15 @@ def main() -> None:
                 # task's aggregation state fits — override via env.
                 "spark.sql.shuffle.partitions": os.environ.get(
                     "SPARK_GRAFT_PROBE_SHUFFLE", "64"),
+                # AQE's small-MAP-OUTPUT coalescing is wrong for the
+                # quadratic-output pair pipelines: it merges the
+                # post-shuffle partitions whose JOIN OUTPUT then
+                # explodes, concentrating multi-GB aggregation maps
+                # on a handful of tasks (measured: the 100x near-dup
+                # sym materialization OOMs a 48g heap with coalescing
+                # on, completes with it off).
+                "spark.sql.adaptive.coalescePartitions.enabled":
+                    "false",
             },
         )
         s.sparkContext.setLogLevel("ERROR")
