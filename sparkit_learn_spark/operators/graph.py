@@ -84,6 +84,14 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                 # FP, bit-identical final normalized scores) so the
                 # fixpoint can't overflow doubles to inf/NaN.
                 cur = hubs.agg(F.max("h")).collect()[0][0]
+                if cur is not None and not math.isfinite(cur):
+                    # already overflowed/NaN between checkpoints:
+                    # log2(inf) would make scale 0.0 and silently zero
+                    # every score — fail loudly instead (r9 ADVICE)
+                    raise ArithmeticError(
+                        f"hits: hub scores became non-finite ({cur}) "
+                        f"at iteration {i + 1}; lower checkpoint_every "
+                        "so the rescale runs before overflow")
                 if cur and cur > 0:
                     scale = 2.0 ** -math.floor(math.log2(cur))
                     if scale != 1.0:
@@ -242,3 +250,36 @@ def twin_quotient(sym: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         .localCheckpoint(eager=True)
     )
     return member, sizes, qedges
+
+
+def twin_degrees(sizes: DataFrame, qedges: DataFrame) -> DataFrame:
+    """(gid, gsz, degree): the EXACT degree of every member of group
+    gid, from quotient-grain structure only.
+
+    True twins with equal closed neighborhoods are mutually adjacent,
+    and quotient-adjacent groups are completely bipartite (any edge
+    between members of A and B implies all |A|·|B| edges — twins are
+    interchangeable), so
+
+        degree(u ∈ A) = (|A| − 1) + Σ_{B ∈ N(A)} |B|
+
+    Why it exists (r10): q_graph_degree at the raw pair grain OOM'd
+    the sf10 probe — the duplication factor makes the explode+count
+    quadratic in the replicated-edge OUTPUT, while this expansion is
+    one broadcast-sized join over quotient edges. Exact; the DuckDB
+    oracle of every query built on it is unchanged.
+    """
+    nbr = (
+        qedges.join(sizes.select(F.col("gid").alias("dst"),
+                                 F.col("gsz").alias("bsz")), "dst")
+        .groupBy(F.col("src").alias("gid"))
+        .agg(F.sum("bsz").alias("nbr_sz"))
+    )
+    return (
+        sizes.join(nbr, "gid", "left")
+        .select(
+            "gid", "gsz",
+            (F.col("gsz") - 1 + F.coalesce("nbr_sz", F.lit(0)))
+            .cast("long").alias("degree"),
+        )
+    )

@@ -23,15 +23,28 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     finds template/boilerplate clusters (high degree = one text
     duplicated everywhere).
 
-    Scale: one explode of the (already candidate-bounded) pair list +
-    one count — edge-grain, never all-pairs. explode, not a unionAll
-    of two selects: the union form would execute the expensive
-    candidate-verify pair lineage TWICE."""
+    Scale (r10 rewrite): the raw explode+count is quadratic in the
+    duplication factor — the 100×-replicated sf10 fixture's pair
+    OUTPUT OOM'd a 48 GB JVM materializing through one aggregation.
+    Rewritten on the true-twin quotient (the triangle/harmonic
+    discipline): degree(u∈A) = (|A|−1) + Σ_{B∈N(A)} |B| expands
+    analytically from group sizes (operators/graph.twin_degrees), so
+    the only edge-grain work left is the quotient construction
+    itself. Exact — the DuckDB oracle is unchanged."""
+    from ..operators.graph import twin_degrees, twin_quotient
+
     pairs = q_llm_ngram_jaccard(spark, sf_dir)
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # pin the symmetric edge list BEFORE the quotient (wave90
+    # discipline): twin_quotient consumes it three times, and
+    # un-pinned each consumer re-runs the candidate-verify pipeline
+    sym = (e.unionAll(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+           .distinct().localCheckpoint(eager=True))
+    member, sizes, qedges = twin_quotient(sym)
     return (
-        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("degree"))
+        member.join(twin_degrees(sizes, qedges), "gid")
+        .select(F.col("node").alias("doc_id"), "degree")
     )
 
 

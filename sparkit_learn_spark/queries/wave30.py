@@ -211,26 +211,47 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     x/y moments coincide, so r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
     from exact integer sums; one final double step.
 
-    Scale: edge-grain only — degrees via one explode+count of the
-    candidate-bounded pair list, then a broadcast of the degree map
-    back onto edges; never all-pairs, no iteration."""
+    Scale (r10 rewrite): was edge-grain (explode degrees + join back
+    onto edges), which consumed the candidate-verify pair lineage
+    through TWO un-pinned branches — at sf10 (0.941×, the family's
+    closest-to-linear row) that lineage was the whole cost. Now
+    quotient-grain: true-twin groups are internal cliques and
+    quotient-adjacent groups complete bipartite, so every Pearson
+    moment expands analytically from (gsz, degree) per group — the
+    sym-edge multiset is Σ_A gsz·(gsz−1) intra rows at (degA, degA)
+    plus gszA·gszB rows per ordered quotient edge at (degA, degB).
+    Exact integer sums; the DuckDB oracle is unchanged."""
+    from ..operators.graph import twin_degrees, twin_quotient
+
     pairs = q_llm_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    deg = (
-        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("degree"))
+    e0 = pairs.select(F.col("doc_a").alias("src"),
+                      F.col("doc_b").alias("dst"))
+    # pin the symmetric edge list BEFORE the quotient fan-out (the
+    # wave90 discipline the triangle family follows)
+    sym = (e0.unionAll(e0.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+           .distinct().localCheckpoint(eager=True))
+    _member, sizes, qedges = twin_quotient(sym)
+    degg = twin_degrees(sizes, qedges)
+    intra = degg.select(
+        (F.col("gsz") * (F.col("gsz") - 1)).cast("long").alias("w"),
+        F.col("degree").alias("x"), F.col("degree").alias("y"),
     )
-    da = deg.select(F.col("doc_id").alias("doc_a"), F.col("degree").alias("dx"))
-    db = deg.select(F.col("doc_id").alias("doc_b"), F.col("degree").alias("dy"))
-    e = pairs.join(F.broadcast(da), "doc_a").join(F.broadcast(db), "doc_b")
-    sym = e.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
-        e.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    da = degg.select(F.col("gid").alias("src"), F.col("gsz").alias("sza"),
+                     F.col("degree").alias("dxa"))
+    db = degg.select(F.col("gid").alias("dst"), F.col("gsz").alias("szb"),
+                     F.col("degree").alias("dyb"))
+    cross = (
+        qedges.join(da, "src").join(db, "dst")
+        .select((F.col("sza") * F.col("szb")).cast("long").alias("w"),
+                F.col("dxa").alias("x"), F.col("dyb").alias("y"))
     )
-    m = sym.agg(
-        F.count("*").alias("m2"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    rows = intra.unionAll(cross)
+    m = rows.agg(
+        F.sum("w").alias("m2"),
+        F.sum(F.col("w") * F.col("x")).alias("sx"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("sxx"),
     )
     m2 = F.col("m2").cast("double")
     return m.select(

@@ -85,3 +85,61 @@ def test_twin_quotient_collapses_exactly_the_true_twins(spark):
     # twinless graphs collapse to nothing
     m2, s2, q2 = twin_quotient(_spark_edges(spark, CASES["twinless"]))
     assert s2.filter(F.col("gsz") > 1).count() == 0
+
+
+def _brute_degrees(edges):
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return {u: len(vs) for u, vs in adj.items()}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_twin_degrees_match_brute_force(spark, name):
+    from sparkit_learn_spark.operators.graph import twin_degrees
+
+    edges = CASES[name]
+    sym = _spark_edges(spark, edges)
+    member, sizes, qedges = twin_quotient(sym)
+    rows = member.join(twin_degrees(sizes, qedges), "gid") \
+        .select("node", "degree").collect()
+    assert {r["node"]: r["degree"] for r in rows} == _brute_degrees(edges)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_quotient_assortativity_moments_match_brute_force(spark, name):
+    """The quotient-grain Pearson moment expansion used by
+    q_graph_assortativity (wave30) equals the raw sym-edge sums."""
+    from sparkit_learn_spark.operators.graph import twin_degrees
+
+    edges = CASES[name]
+    deg = _brute_degrees(edges)
+    sym_pairs = sorted(set(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges]))
+    want = (
+        len(sym_pairs),
+        sum(deg[a] for a, _ in sym_pairs),
+        sum(deg[a] * deg[b] for a, b in sym_pairs),
+        sum(deg[a] * deg[a] for a, _ in sym_pairs),
+    )
+    sym = _spark_edges(spark, edges)
+    _member, sizes, qedges = twin_quotient(sym)
+    degg = twin_degrees(sizes, qedges)
+    intra = degg.select(
+        (F.col("gsz") * (F.col("gsz") - 1)).cast("long").alias("w"),
+        F.col("degree").alias("x"), F.col("degree").alias("y"))
+    da = degg.select(F.col("gid").alias("src"), F.col("gsz").alias("sza"),
+                     F.col("degree").alias("dxa"))
+    db = degg.select(F.col("gid").alias("dst"), F.col("gsz").alias("szb"),
+                     F.col("degree").alias("dyb"))
+    cross = (qedges.join(da, "src").join(db, "dst")
+             .select((F.col("sza") * F.col("szb")).cast("long").alias("w"),
+                     F.col("dxa").alias("x"), F.col("dyb").alias("y")))
+    m = intra.unionAll(cross).agg(
+        F.sum("w").alias("m2"),
+        F.sum(F.col("w") * F.col("x")).alias("sx"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("sxx"),
+    ).collect()[0]
+    assert (m["m2"], m["sx"], m["sxy"], m["sxx"]) == want
