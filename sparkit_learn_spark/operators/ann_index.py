@@ -34,6 +34,8 @@ corpus table remains the vector store, faiss's refine-at-search shape.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -208,7 +210,16 @@ def append_to_index(emb_batch: DataFrame, path: str, *,
 
     ``expected_fingerprint`` must match the index's current meta
     (stale-writer guard); ``new_fingerprint`` is recorded as the new
-    corpus identity."""
+    corpus identity.
+
+    Crash safety: codes land before meta advances, so a failure
+    between the two writes leaves codes ahead of meta — and a naive
+    retry would pass the fingerprint guard and append the batch AGAIN
+    (permanent silent duplication; r9 ADVICE). The append therefore
+    verifies the count invariant first: if codes are exactly one
+    batch ahead AND this batch's ids are all already present, the
+    interrupted commit is COMPLETED (meta-only write, no re-append);
+    any other divergence raises loudly so the caller rebuilds."""
     spark = emb_batch.sparkSession
     meta = load_meta(spark, path)
     if meta["source_fingerprint"] != expected_fingerprint:
@@ -217,18 +228,38 @@ def append_to_index(emb_batch: DataFrame, path: str, *,
             f"{meta['source_fingerprint']!r} != expected "
             f"{expected_fingerprint!r} — another writer moved it, or "
             "the batch was already appended")
-    C, books = read_quantizer(spark, path, meta["m_subspaces"])
     vec = _spread(emb_batch.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ))
     n_batch = vec.count()
+    codes = spark.read.parquet(f"{path}/codes")
+    n_actual = codes.count()  # parquet count — row-group metadata scan
+    n_meta = int(meta["n_vectors"])
+    if n_actual != n_meta:
+        n_present = codes.join(
+            vec.select(F.col("vid").alias("id")), "id", "semi").count()
+        if n_actual == n_meta + n_batch and n_present == n_batch:
+            # previous run crashed between the codes append and the
+            # meta commit — the batch is fully on disk; finish the
+            # commit without re-appending
+            meta = dict(meta)
+            meta["n_vectors"] = n_meta + n_batch
+            meta["source_fingerprint"] = new_fingerprint
+            _write_meta(spark, path, meta)
+            return meta
+        raise RuntimeError(
+            f"append_to_index at {path}: codes hold {n_actual} rows "
+            f"but meta records {n_meta} (batch={n_batch}, of which "
+            f"{n_present} already present) — index is inconsistent; "
+            "rebuild it (build_if_stale / write_index)")
+    C, books = read_quantizer(spark, path, meta["m_subspaces"])
     (_encode_frame(vec, C, books)
         .repartition("list_id")
         .write.mode("append").partitionBy("list_id")
         .parquet(f"{path}/codes"))
     meta = dict(meta)
-    meta["n_vectors"] = int(meta["n_vectors"]) + n_batch
+    meta["n_vectors"] = n_meta + n_batch
     meta["source_fingerprint"] = new_fingerprint
     _write_meta(spark, path, meta)
     return meta
@@ -300,18 +331,62 @@ def merge_indexes(spark: SparkSession, paths: list[str], out: str, *,
 
 
 def build_if_stale(emb: DataFrame, path: str, *,
-                   source_fingerprint: str, **build_kw) -> tuple[dict, bool]:
+                   source_fingerprint: str, lock_timeout: float = 600.0,
+                   **build_kw) -> tuple[dict, bool]:
     """(meta, rebuilt): load the index at ``path`` if its fingerprint
-    matches, else (re)build it. The build-once-probe-many entry."""
+    matches, else (re)build it. The build-once-probe-many entry.
+
+    Builds are serialized by an atomic-mkdir lockfile next to the
+    index (r9 ADVICE: two sessions sharing one warehouse dir could
+    interleave overwrite-writes and corrupt the layout). The lock is
+    re-checked after acquisition, so a waiter that blocked behind a
+    builder finds the fresh index and skips its own build. Only the
+    missing-index read error is swallowed; genuine read errors
+    propagate."""
+    import time
+
+    from pyspark.errors import AnalysisException
+
     spark = emb.sparkSession
+
+    def _fresh() -> dict | None:
+        try:
+            meta = load_meta(spark, path)
+        except AnalysisException as exc:  # missing path -> build
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return None
+            raise
+        return meta if meta["source_fingerprint"] == source_fingerprint \
+            else None
+
+    meta = _fresh()
+    if meta is not None:
+        return meta, False
+    lock = f"{path}.build.lock"
+    os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+    deadline = time.monotonic() + lock_timeout
+    while True:
+        try:
+            os.mkdir(lock)  # atomic on POSIX
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"build_if_stale: lock {lock} held for more than "
+                    f"{lock_timeout}s — remove it if its owner died")
+            time.sleep(0.25)
     try:
-        meta = load_meta(spark, path)
-        if meta["source_fingerprint"] == source_fingerprint:
+        meta = _fresh()  # another session may have built while we waited
+        if meta is not None:
             return meta, False
-    except Exception:
-        pass  # missing or unreadable -> build
-    return write_index(emb, path, source_fingerprint=source_fingerprint,
-                       **build_kw), True
+        return write_index(emb, path,
+                           source_fingerprint=source_fingerprint,
+                           **build_kw), True
+    finally:
+        try:
+            os.rmdir(lock)
+        except OSError:
+            pass
 
 
 def probe_index(spark: SparkSession, path: str, queries: DataFrame, *,
@@ -332,6 +407,12 @@ def probe_index(spark: SparkSession, path: str, queries: DataFrame, *,
     ``expected_fingerprint`` guards against probing a stale index:
     pass the current corpus fingerprint and a mismatch raises instead
     of returning silently wrong neighbors."""
+    if corpus is None:
+        # keyword-optional for call-site symmetry with ivf_pq_topk, but
+        # required by contract (exact re-rank) — validate before any
+        # Spark work is spent (r9 ADVICE)
+        raise ValueError("probe_index: pass corpus= (the raw vector "
+                         "store) for the exact re-rank")
     meta = load_meta(spark, path)
     if (expected_fingerprint is not None
             and meta["source_fingerprint"] != expected_fingerprint):
@@ -407,9 +488,6 @@ def probe_index(spark: SparkSession, path: str, queries: DataFrame, *,
              .applyInPandas(adc, schema="qid long, nid long")
              .distinct())  # a pair can surface from several lists
 
-    if corpus is None:
-        raise ValueError("probe_index: pass corpus= (the raw vector "
-                         "store) for the exact re-rank")
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

@@ -259,3 +259,73 @@ def test_stream_ingest_appends_index_across_restart(spark, tmp_path):
     # the restarted query must NOT have re-appended trigger-1 files
     # (exactly-once via the checkpoint's file-source log)
     assert meta["source_fingerprint"].count("+b") == 2
+
+
+def test_append_self_heals_interrupted_commit(spark, tmp_path):
+    """Crash-safety of append_to_index (r9 ADVICE): codes land before
+    meta advances, so a failure between the two writes leaves codes
+    one batch ahead of meta while the fingerprint guard still passes.
+    A retry must COMPLETE the commit (meta-only) instead of appending
+    the batch a second time — and any other count divergence raises."""
+    from sparkit_learn_spark.operators.ann_index import (
+        _write_meta, append_to_index)
+
+    emb = load_table(spark, SF, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "idx")
+    write_index(hist, path, seed=42, source_fingerprint="v-hist")
+    meta0 = load_meta(spark, path)
+    append_to_index(batch, path, expected_fingerprint="v-hist",
+                    new_fingerprint="v-full")
+    # simulate the crash: roll meta back to the pre-append state while
+    # the appended codes stay on disk
+    _write_meta(spark, path, meta0)
+    meta = append_to_index(batch, path, expected_fingerprint="v-hist",
+                           new_fingerprint="v-full")
+    assert meta["source_fingerprint"] == "v-full"
+    assert meta["n_vectors"] == emb.count()
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == emb.count(), "batch must not be duplicated"
+    assert codes.select("id").distinct().count() == emb.count()
+    # a divergence that is NOT explainable as this batch's interrupted
+    # commit must raise loudly: roll meta back again but hand append a
+    # DIFFERENT batch
+    _write_meta(spark, path, meta0)
+    other = emb.filter(F.col("vec_id") % 3 == 1).limit(10)
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        append_to_index(other, path, expected_fingerprint="v-hist",
+                        new_fingerprint="v-other")
+
+
+def test_build_if_stale_lock_blocks_then_reuses(spark, tmp_path):
+    """The build lock serializes writers: while a lock dir exists,
+    build_if_stale waits; once it clears AND the index is fresh, the
+    waiter reuses without rebuilding (rebuilt=False)."""
+    import threading
+    import time
+
+    emb = load_table(spark, SF, "embeddings").limit(200)
+    path = str(tmp_path / "idx")
+    lock = f"{path}.build.lock"
+    os.makedirs(lock)
+
+    def release():
+        time.sleep(1.5)
+        write_index(emb, path, seed=42, source_fingerprint="fp-x")
+        os.rmdir(lock)
+
+    t = threading.Thread(target=release)
+    t.start()
+    meta, rebuilt = build_if_stale(emb, path, source_fingerprint="fp-x",
+                                   lock_timeout=30.0)
+    t.join()
+    assert rebuilt is False, "waiter must find the fresh index"
+    assert meta["source_fingerprint"] == "fp-x"
+    # a lock that never clears times out loudly
+    lock2 = str(tmp_path / "idx2.build.lock")
+    os.makedirs(lock2)
+    with pytest.raises(TimeoutError, match="lock"):
+        build_if_stale(emb, str(tmp_path / "idx2"),
+                       source_fingerprint="fp-y", lock_timeout=0.0)
+    os.rmdir(lock2)

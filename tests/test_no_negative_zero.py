@@ -17,12 +17,11 @@ the expression in BOTH engines.
 from __future__ import annotations
 
 import os
-import shutil
 
 import pytest
 
 from sparkit_learn_spark.registry import all_oracles
-from sparkit_learn_spark.testing import DUCK_TEMP_DIR, duck_connect, normalize
+from sparkit_learn_spark.testing import duck_connect, normalize
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
@@ -35,10 +34,10 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf
 RECYCLE_EVERY = 25
 
 
-def _temp_spill_bytes() -> int:
+def _temp_spill_bytes(temp_dir: str) -> int:
     total = 0
-    if os.path.isdir(DUCK_TEMP_DIR):
-        for root, _dirs, files in os.walk(DUCK_TEMP_DIR):
+    if os.path.isdir(temp_dir):
+        for root, _dirs, files in os.walk(temp_dir):
             for f in files:
                 try:
                     total += os.path.getsize(os.path.join(root, f))
@@ -48,18 +47,25 @@ def _temp_spill_bytes() -> int:
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
-def test_oracles_emit_no_negative_zero(sf_dir):
-    shutil.rmtree(DUCK_TEMP_DIR, ignore_errors=True)
+def test_oracles_emit_no_negative_zero(sf_dir, tmp_path):
+    # per-test spill dir (r9 ADVICE): a shared /tmp dir + rmtree at
+    # test start would delete a LIVE connection's spill blocks if the
+    # three sf params ever run in parallel (pytest-xdist); and spill
+    # must be SAMPLED inside the loop — DuckDB deletes its temp blocks
+    # on connection close, so an end-of-test measurement is vacuous.
+    spill_dir = str(tmp_path / "duck_spill")
     oracles = sorted(all_oracles().items())
     offenders: list[str] = []
+    peak_spill = 0
     con = None
     try:
         for i, (name, sql) in enumerate(oracles):
             if i % RECYCLE_EVERY == 0:
                 if con is not None:
                     con.close()
-                con = duck_connect(sf_dir)
+                con = duck_connect(sf_dir, temp_directory=spill_dir)
             rows = normalize(con.sql(sql).df())
+            peak_spill = max(peak_spill, _temp_spill_bytes(spill_dir))
             for row in rows:
                 # covers bare floats AND floats inside array cells,
                 # which normalize to "[..,-0.000000,..]"
@@ -71,8 +77,8 @@ def test_oracles_emit_no_negative_zero(sf_dir):
             con.close()
     # The resource envelope is part of the gate: spill must stay
     # bounded, or the sweep rots back into un-runnability.
-    spill_gb = _temp_spill_bytes() / 2**30
-    assert spill_gb < 24.5, f"duckdb spill {spill_gb:.1f} GB exceeds cap"
+    spill_gb = peak_spill / 2**30
+    assert spill_gb < 24.5, f"duckdb spill peak {spill_gb:.1f} GB exceeds cap"
     assert not offenders, (
         "oracle results that hash as negative zero "
         f"at {sf_dir}:\n" + "\n".join(offenders)
