@@ -175,11 +175,13 @@ HEADLINE = [
     # --- r9 rotations ---
     "q_llm_embed_cosine_dedup",  # r9 rewrite: distinct-vector pre-group
     "q_llm_pipeline_funnel_incremental",  # ingest-time funnel (wave147)
-    # q_llm_ann_persisted / q_llm_ann_index_coverage are deliberately
-    # NOT benched: their first call per fixture builds the index
-    # (amortized away on every later call), so their wall time
-    # measures warehouse cache state, not query cost — a cold driver
-    # run vs a warm local baseline would flag phantom regressions.
+    # q_llm_ann_persisted / q_llm_ann_index_coverage /
+    # q_llm_funnel_persisted (r10) are deliberately NOT benched:
+    # their first call per fixture builds persisted state (amortized
+    # away on every later call — the funnel even returns its run
+    # ledger), so their wall time measures warehouse cache state, not
+    # query cost — a cold driver run vs a warm local baseline would
+    # flag phantom regressions.
 ]
 
 
