@@ -209,3 +209,4 @@ from . import wave128  # noqa: F401
 from . import wave129  # noqa: F401
 from . import wave131  # noqa: F401
 from . import wave149  # noqa: F401  (r10: persisted-state funnel)
+from . import wave150  # noqa: F401  (r10: persisted near-dup band index)
