@@ -104,7 +104,12 @@ def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ws",
         "a",
         F.expr("aggregate(a, 0L, (acc, x) -> acc + x)").alias("s"),
-        F.expr("aggregate(a, 0L, (acc, x) -> acc + x * x)").alias("q"),
+        # v^2 overflows int64 at 100x (sf10 daily revenue ~4e9 ->
+        # v^2 ~1.6e19 > 2^63): accumulate in DECIMAL(38,0), matching
+        # the oracle's SUM(CAST(v*v AS DECIMAL(38,0))) exactly
+        F.expr("aggregate(a, CAST(0 AS DECIMAL(38,0)), (acc, x) -> "
+               "acc + CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))"
+               ).alias("q"),
     )
     var7 = 7 * F.col("q").cast("double") - F.col("s").cast("double") * F.col("s").cast("double")
     mo2 = mo.filter(var7 > 0).select("ws", "a", "s", F.sqrt(var7).alias("sig7")).persist()
@@ -116,7 +121,11 @@ def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(b),
         (F.col("ib") >= F.col("ws") + 7) | (F.col("ib") <= F.col("ws") - 7),
     )
-    qt = F.expr("aggregate(zip_with(a, ab, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+    # same overflow guard for the cross-window dot products
+    qt = F.expr(
+        "aggregate(zip_with(a, ab, (x, y) -> "
+        "CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))), "
+        "CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x)")
     d2 = F.greatest(
         14.0
         * (
