@@ -836,14 +836,30 @@ def mmr_rerank(emb: DataFrame, *, k: int = 5, fetch: int = 20,
     Scale: the greedy loop runs per query over ≤``fetch`` candidates
     inside applyInPandas — O(k·fetch) numpy per group, embarrassingly
     parallel across queries; only (qid, candidate) rows shuffle. The
-    anti-pattern is a global driver loop over all queries."""
+    anti-pattern is a global driver loop over all queries. NOTE the
+    candidate FETCH here is the exact all-pairs top-k — O(n²) by
+    contract; for corpus-scale retrieval feed the greedy from the
+    persisted ANN index instead (:func:`mmr_rerank_candidates` +
+    ann_index.probe_index, the q_llm_mmr_ann path)."""
+    cand = cosine_topk(emb, k=fetch, id_col=id_col, vec_col=vec_col)
+    return mmr_rerank_candidates(cand, emb, k=k, lam=lam,
+                                 id_col=id_col, vec_col=vec_col)
+
+
+def mmr_rerank_candidates(cand: DataFrame, emb: DataFrame, *,
+                          k: int = 5, lam: float = 0.7,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """MMR greedy over an EXTERNALLY-SUPPLIED candidate frame
+    (qid, nid, sim) — the fetch-agnostic core of :func:`mmr_rerank`:
+    exact top-k feeds it below ~10⁶ vectors, the persisted IVF-PQ
+    probe feeds it at corpus scale. Same determinism contract
+    (6dp sims in, 9dp-rounded argmax, nid tiebreak)."""
     import numpy as np
     import pandas as pd
 
-    cand = cosine_topk(emb, k=fetch, id_col=id_col, vec_col=vec_col)
     vecs = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    qvecs = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    joined = cand.join(vecs, "nid").join(qvecs, "qid")
+    joined = cand.select("qid", "nid", "sim").join(vecs, "nid")
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["sim", "nid"], ascending=[False, True])

@@ -262,3 +262,33 @@ def q_llm_neardup_index_append(spark: SparkSession,
         F.sum(F.coalesce(F.col("_b"), F.lit(0))).cast("long")
         .alias("n_appended"))
     return a1.crossJoin(a2)
+
+
+@register("q_llm_mmr_ann")  # rows-only: ANN candidates + float greedy
+# — greedy numpy parity in tests/test_ml.py, candidate determinism in
+# tests/test_neardup_index.py::test_mmr_ann_*
+def q_llm_mmr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval AT CORPUS SCALE: candidates come from
+    the PERSISTED IVF-PQ index (partition-pruned probe + exact
+    re-rank, wave146's index) instead of q_llm_mmr's exact all-pairs
+    top-k — which is O(n²) by contract and the documented non-scale
+    path. A fixed 64-query panel fetches 20 candidates each, then the
+    same deterministic greedy (λ=0.7) re-ranks to 5.
+
+    Scale: THE production retrieval shape — index built once per
+    corpus version, probes scan only probed list partitions, greedy
+    is O(k·fetch) numpy per query inside applyInPandas. Nothing in
+    the plan grows faster than the probed-list scan."""
+    from ..operators.similarity import mmr_rerank_candidates
+    from .wave146 import PANEL_N, _built_index, _fingerprint
+
+    path, _meta, _rebuilt = _built_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    panel = emb.orderBy("vec_id").limit(PANEL_N)
+    from ..operators.ann_index import probe_index
+    cand = probe_index(spark, path, panel, k=20, refine=4, corpus=emb,
+                       expected_fingerprint=_fingerprint(sf_dir))
+    return (
+        mmr_rerank_candidates(cand, emb, k=5, lam=0.7)
+        .orderBy("qid", "mmr_rank")
+    )

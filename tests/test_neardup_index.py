@@ -132,3 +132,21 @@ def test_band_keys_deterministic_across_computations(spark):
     b1 = {tuple(r) for r in doc_bands(d).collect()}
     b2 = {tuple(r) for r in doc_bands(d).collect()}
     assert b1 == b2 and len(b1) > 0
+
+
+def test_mmr_ann_contract(spark):
+    """q_llm_mmr_ann: 5 diversified results per panel query from the
+    persisted-index candidates, deterministic across runs, and the
+    rank-1 pick equals the top ANN candidate (greedy's first step is
+    pure relevance)."""
+    from sparkit_learn_spark.registry import all_queries
+
+    sf = SF
+    got = all_queries()["q_llm_mmr_ann"](spark, sf).toPandas()
+    assert got.groupby("qid").size().eq(5).all()
+    assert (got.groupby("qid")["mmr_rank"].max() == 5).all()
+    again = all_queries()["q_llm_mmr_ann"](spark, sf).toPandas()
+    assert got.equals(again)
+    r1 = got[got["mmr_rank"] == 1]
+    assert (r1["diversity_penalty"] == 0.0).all(), \
+        "first pick must be the pure-relevance argmax"
