@@ -34,18 +34,23 @@ BIG = os.path.join(REPO, ".scale/sf10")
 
 def recall_at_k(spark, got, emb, k=5):
     """Mean overlap of got's (qid, nid) top-k with the exact cosine
-    top-k over the same panel."""
+    top-k (self-excluded, matching probe_index semantics)."""
     from pyspark.sql import functions as F
 
-    from sparkit_learn_spark.operators.similarity import cosine_topk
+    from sparkit_learn_spark.operators.similarity import cosine_retrieve
 
-    qids = [r["qid"] for r in got.select("qid").distinct().collect()]
+    gp = got.select("qid", "nid").toPandas()
+    qids = sorted(gp["qid"].unique().tolist())
     panel = emb.filter(F.col("vec_id").isin(qids))
-    exact = cosine_topk(panel, emb, k=k)
-    g = got.select("qid", "nid")
-    e = exact.select(F.col("qid"), F.col("nid"))
-    hits = g.join(e, ["qid", "nid"]).count()
-    return hits / (len(qids) * k)
+    ex = cosine_retrieve(panel, emb, k=k + 1,
+                         max_broadcast_rows=300_000).toPandas()
+    ex = ex[ex["qid"] != ex["nid"]]
+    ex = (ex.sort_values(["qid", "sim", "nid"],
+                         ascending=[True, False, True])
+          .groupby("qid").head(k))
+    got_pairs = set(map(tuple, gp.values))
+    exact_pairs = set(map(tuple, ex[["qid", "nid"]].values))
+    return len(got_pairs & exact_pairs) / (len(qids) * k)
 
 
 def main() -> None:
