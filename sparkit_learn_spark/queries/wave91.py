@@ -91,7 +91,17 @@ def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.col("o_orderdate").alias("day"))
         .agg(F.sum(F.round("o_totalprice").cast("long")).alias("v"))
         .select(F.row_number().over(Window.orderBy("day")).alias("i"), "v")
+        .localCheckpoint(eager=True)  # day-grain (tiny); consumed by
+        # the overflow guard below AND the window pipeline — without
+        # the pin both would re-scan orders
     )
+    # v^2 overflows int64 at 100x (sf10 daily revenue ~4e9 -> v^2
+    # ~1.6e19 > 2^63). Decimal accumulators are exact at any scale but
+    # ~2x the whole-query wall (measured 4.6 s -> 10.5 s at sf0.1), so
+    # pick per run from the actual day-grain max: 7*vmax^2 < 2^63
+    # keeps every sum of 7 products in-range, long stays exact.
+    vmax = d.agg(F.max(F.abs(F.col("v")))).first()[0] or 0
+    exact_long = 7 * vmax * vmax < 2 ** 63
     wlead = Window.orderBy("i")
     arr = d.select(
         F.col("i").alias("ws"),
@@ -100,16 +110,15 @@ def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.lead("v", k).over(wlead) for k in range(1, 7)],
         ).alias("a"),
     ).filter(~F.array_contains(F.expr("transform(a, x -> x is null)"), F.lit(True)))
+    q_expr = (
+        "aggregate(a, 0L, (acc, x) -> acc + x * x)" if exact_long else
+        "aggregate(a, CAST(0 AS DECIMAL(38,0)), (acc, x) -> "
+        "acc + CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))")
     mo = arr.select(
         "ws",
         "a",
         F.expr("aggregate(a, 0L, (acc, x) -> acc + x)").alias("s"),
-        # v^2 overflows int64 at 100x (sf10 daily revenue ~4e9 ->
-        # v^2 ~1.6e19 > 2^63): accumulate in DECIMAL(38,0), matching
-        # the oracle's SUM(CAST(v*v AS DECIMAL(38,0))) exactly
-        F.expr("aggregate(a, CAST(0 AS DECIMAL(38,0)), (acc, x) -> "
-               "acc + CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))"
-               ).alias("q"),
+        F.expr(q_expr).alias("q"),
     )
     var7 = 7 * F.col("q").cast("double") - F.col("s").cast("double") * F.col("s").cast("double")
     mo2 = mo.filter(var7 > 0).select("ws", "a", "s", F.sqrt(var7).alias("sig7")).persist()
@@ -123,6 +132,8 @@ def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same overflow guard for the cross-window dot products
     qt = F.expr(
+        "aggregate(zip_with(a, ab, (x, y) -> x * y), 0L, "
+        "(acc, x) -> acc + x)" if exact_long else
         "aggregate(zip_with(a, ab, (x, y) -> "
         "CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))), "
         "CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x)")
