@@ -531,7 +531,11 @@ def test_matrix_profile_broadcast_nested_loop_on_arrays(spark, sf_dir):
     row_number window over the pair set."""
     plan = explain_str(Q["q_ts_matrix_profile"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
-    assert plan.count("HashAggregate") >= 2
+    # the per-window min(struct) is a two-stage partial+final
+    # aggregate (sort-based: struct buffers aren't hash-supported);
+    # r10's overflow-guard checkpoint moved the day-grain groupBy's
+    # HashAggregates out of this plan, so count aggregates generically
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
