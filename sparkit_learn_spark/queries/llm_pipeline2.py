@@ -54,10 +54,15 @@ def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch_expr = " + ".join(
         f"IF(b{b} > 0, shiftleft(1L, {b}), 0L)" for b in range(64)
     )
+    # persist the 16-byte/row sketch: the band self-join consumes it on
+    # BOTH sides, and without materialization each side re-ran the
+    # tokenize+explode+tf aggregate and the 64 conditional sums (the
+    # same double-computation the phash twin had)
     sk = (
         tf.groupBy("doc_id")
         .agg(*bit_sums)
         .select("doc_id", F.expr(sketch_expr).alias("simhash"))
+        .persist()
     )
     bands = sk.select(
         "doc_id",
@@ -240,8 +245,12 @@ def q_llm_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # ---- 0. collapse bit-identical vectors ----
-    grp = e.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
-    membership = e.join(grp, "embedding").select("vec_id", "rep_id")
+    # grp fans out five ways (membership, the LSH input, both verify
+    # sides, self_sim) and its groupBy shuffles FULL embedding arrays —
+    # persist the distinct-vector table so that array shuffle happens
+    # once; membership (8 B/row) likewise feeds both expansion sides.
+    grp = e.groupBy("embedding").agg(F.min("vec_id").alias("rep_id")).persist()
+    membership = e.join(grp, "embedding").select("vec_id", "rep_id").persist()
     reps = grp.select(F.col("rep_id").alias("vec_id"), "embedding")
 
     # ---- 1-2. exact-recall LSH + verify, at distinct-vector scale ----

@@ -107,12 +107,18 @@ def q_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     C:H] without the broadcast-idf driver round-trip: DF is a
     DataFrame joined back (broadcast join — vocab-sized, tiny);
     verified against sklearn TfidfTransformer in tests/test_ml.py."""
+    # persist tf: both the df aggregate and the final join consume it,
+    # and unpersisted each re-ran the tokenize+explode+count pipeline;
+    # tf is (doc,term)-unique by construction so per-term COUNT(*)
+    # equals COUNT(DISTINCT doc_id) — the plain count skips the
+    # distinct-aggregate's second exchange
     tf = (
         _doc_terms(spark, sf_dir)
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = load_table(spark, sf_dir, "documents").count()  # one scalar
     idf = F.log((1.0 + float(n_docs)) / (1 + F.col("df"))) + 1
     return (
@@ -152,7 +158,12 @@ def q_ml_multinomial_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(e, d.doc_id == e.vec_id)
         .select("label", F.explode(tokens("text")).alias("term"))
     )
-    counts = labeled.groupBy("label", "term").agg(F.count("*").alias("c"))
+    # persist counts: the vocab-size scalar (build-time count), totals
+    # and the final projection all consume it — unpersisted each re-ran
+    # the join+explode+aggregate pipeline
+    counts = labeled.groupBy("label", "term").agg(
+        F.count("*").alias("c")
+    ).persist()
     vocab_size = counts.select("term").distinct().count()  # one scalar
     totals = counts.groupBy("label").agg(F.sum("c").alias("total"))
     return (

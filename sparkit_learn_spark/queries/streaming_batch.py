@@ -233,13 +233,19 @@ def q_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         neardup_fingerprint)
 
     batch = documents_batch_with_ingest_ts(spark, sf_dir)
-    cut = batch.agg((F.max("doc_id") / 2).cast("long").alias("cut"))
-    b = batch.crossJoin(F.broadcast(cut))
-    corpus_fps = (
-        b.filter(F.col("doc_id") < F.col("cut"))
-        .select(neardup_fingerprint(F.col("text")).alias("fp"))
-        .distinct()
-    )
+    # Fingerprint the whole batch ONCE and persist the 32-byte keyed
+    # projection: previously the regex-normalize + sha256 over the text
+    # ran separately for the corpus half, the incoming half, and the
+    # max(doc_id) cut probe re-scanned the table a third time. Every
+    # consumer below reads the cached keyed rows; text never leaves the
+    # first projection (guide §2.3: shuffle/scan keys, not payloads).
+    keyed = batch.select(
+        "doc_id", "source", "ingest_ts",
+        neardup_fingerprint(F.col("text")).alias("fp"),
+    ).persist()
+    cut = keyed.agg((F.max("doc_id") / 2).cast("long").alias("cut"))
+    b = keyed.crossJoin(F.broadcast(cut))
+    corpus_fps = b.filter(F.col("doc_id") < F.col("cut")).select("fp").distinct()
     incoming = b.filter(F.col("doc_id") >= F.col("cut")).drop("cut")
     return neardup_dedup_batch(incoming, corpus_fps).select(
         "doc_id", "source", "ingest_ts", "fp"

@@ -56,10 +56,15 @@ def q_ml_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     join becomes a shuffle join on l_partkey — still one fact pass."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # ob fans out four ways (the n_orders count, item supports, and
+    # both sides of the pair self-join); persist so the join+distinct
+    # runs once instead of once per consumer (before-plan: 30
+    # exchanges, 2 redundant SortMergeJoins).
     ob = (
         li.join(p, li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        .persist()
     )
     n_orders = float(ob.select("okey").distinct().count())
     item = ob.groupBy("brand").agg(F.count("*").alias("supp"))

@@ -102,6 +102,11 @@ def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("s").cast("double") * F.col("sv")).alias("ss"),
         )
         .select("p", (F.col("cs") * F.col("cs") + F.col("ss") * F.col("ss")).alias("power"))
+        # 7 rows, but fanned out to tot, ent AND the final projection —
+        # unpersisted, the orders day-grain aggregate executed once per
+        # consumer (54 exchanges in the before-plan). One materialization
+        # = one fact pass total.
+        .persist()
     )
     tot = pw.agg(F.sum("power").alias("tp"))
     pw2 = pw.crossJoin(F.broadcast(tot))

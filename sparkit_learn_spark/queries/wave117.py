@@ -145,10 +145,25 @@ def q_ml_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", (F.col("l_partkey") % 211).alias("item")
     )
-    a = li.select(F.col("l_orderkey").alias("ka"), F.col("item").alias("i"))
-    b = li.select(F.col("l_orderkey").alias("kb"), F.col("item").alias("j"))
+    # Within-order pair generation WITHOUT the fact self-join: collect
+    # each order's item list (baskets are bounded at ~7 lines) and
+    # explode the ordered value-distinct position pairs map-side — the
+    # co-count multiset is identical to the okey-equi self-join's
+    # (co(i,j) = Σ_orders cnt_i·cnt_j, i≠j), but the fact is shuffled
+    # ONCE (groupBy okey) instead of twice, and no join row-expansion
+    # materializes (guide §2.3-2.4).
+    baskets = li.groupBy("l_orderkey").agg(F.collect_list("item").alias("items"))
     pairs = (
-        a.join(b, (F.col("kb") == F.col("ka")) & (F.col("i") != F.col("j")))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, x -> "
+                    "transform(filter(items, y -> y != x), "
+                    "y -> named_struct('i', x, 'j', y))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= 2)

@@ -86,8 +86,12 @@ def q_llm_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = docs.agg(F.count(F.lit(1)).alias("nd"))
     idf = (
+        # s is already distinct on (doc_id, sh), so COUNT(*) per sh
+        # equals COUNT(DISTINCT doc_id) — the plain count keeps the
+        # aggregate single-phase (no distinct-expand, one exchange
+        # instead of two)
         s.groupBy("sh")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= 100)
         .crossJoin(F.broadcast(nd))
         .select(
@@ -99,7 +103,11 @@ def q_llm_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     )
-    sw = s.join(idf, "sh")
+    # sw fans out three ways (docw + both sides of the pair self-join);
+    # persist so the idf aggregate + weight join run once, not once per
+    # consumer (before-plan: the 2-exchange idf subtree appeared twice,
+    # 59 exchanges total)
+    sw = s.join(idf, "sh").persist()
     docw = sw.groupBy("doc_id").agg(F.sum("w").alias("total_w"))
     a = sw.select(F.col("doc_id").alias("doc_a"), "sh", F.col("w").alias("wa"))
     b = sw.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh2"))
@@ -111,8 +119,10 @@ def q_llm_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     wa = docw.select(F.col("doc_id").alias("doc_a"), F.col("total_w").alias("ta"))
     wb = docw.select(F.col("doc_id").alias("doc_b"), F.col("total_w").alias("tb"))
     scored = (
-        inter.join(wa, "doc_a")
-        .join(wb, "doc_b")
+        # the per-doc weight table is doc-grain (small); broadcast both
+        # sides so the pair table isn't shuffled twice by doc key
+        inter.join(F.broadcast(wa), "doc_a")
+        .join(F.broadcast(wb), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -8,7 +8,7 @@ the r8 incremental estimator path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -80,18 +80,22 @@ def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice("toks", F.col("i"), WIN), " ").alias("win"),
         )
     )
-    dupw = (
-        w.groupBy("win")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("win")
-    )
+    # per-window duplication in ONE pass: COUNT(DISTINCT doc_id)>1 over
+    # a window group ⟺ min(doc_id) ≠ max(doc_id) over the same group —
+    # so the window table is built and shuffled ONCE (by win) instead
+    # of aggregated separately (2 distinct-exchanges) and then joined
+    # back against a second full build of itself (guide §2.4)
+    wwin = Window.partitionBy("win")
     per = (
-        w.join(dupw.withColumn("_dup", F.lit(1)), "win", "left")
+        w.select(
+            "doc_id",
+            (F.min("doc_id").over(wwin) != F.max("doc_id").over(wwin))
+            .cast("long").alias("_dup"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("dup_windows"),
+            F.sum("_dup").alias("dup_windows"),
         )
     )
     return (
@@ -158,9 +162,14 @@ def q_llm_substring_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice("toks", F.col("i"), WIN), " ").alias("win"),
         )
     )
-    g = w.groupBy("win").agg(F.count(F.lit(1)).alias("occ"))
+    # occurrence counts via a window COUNT(*) over the win partition —
+    # one build + one shuffle of the window table instead of an
+    # aggregate + join-back against a second full build (guide §2.4)
     return (
-        w.join(g, "win")
+        w.select(
+            "source", "win",
+            F.count(F.lit(1)).over(Window.partitionBy("win")).alias("occ"),
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),

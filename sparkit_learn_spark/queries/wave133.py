@@ -95,14 +95,23 @@ def _bucket_counts(bg: DataFrame):
     """(tgt, raw, tot) bucket-grain counts over a bigram-bucket
     stream — the distributions behind both the per-doc weights and
     the KL diagnostic (one definition, so the feature space cannot
-    drift between them)."""
-    tgt = bg.where(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("tc"))
-    raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tot = bg.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tn"),
-        F.count(F.lit(1)).alias("rn"),
-    )
+    drift between them).
+
+    r11: ONE conditional-count aggregate pass instead of three
+    independent passes over the corpus-grain bigram stream (target
+    filter + raw count + totals each re-ran the tokenize/explode/hash
+    pipeline); tgt/raw/tot all derive from the persisted ≤B-row merged
+    counts, so the corpus is scanned once here (guide §1.2: remove
+    whole passes first)."""
+    counts = bg.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
+        F.count(F.lit(1)).alias("rc"),
+    ).persist()
+    # identical row set to the filtered groupBy: buckets with ≥1
+    # English bigram
+    tgt = counts.where(F.col("tc") > 0).select("b", "tc")
+    raw = counts.select("b", "rc")
+    tot = counts.agg(F.sum("tc").alias("tn"), F.sum("rc").alias("rn"))
     return tgt, raw, tot
 
 

@@ -75,13 +75,22 @@ def q_llm_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(shingles(F.col("toks"), k=WIN)).alias("p", "win"),
     ).select("doc_id", (F.col("p") + 1).cast("long").alias("i"), "win")
-    dupw = (
-        w.groupBy("win")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
-        .select("win")
+    # duplicated-window detection in ONE pass: COUNT(DISTINCT doc_id)>1
+    # over a window group ⟺ min(doc_id) ≠ max(doc_id) over the same
+    # group, and min/max ARE window functions — so the window table is
+    # built once and shuffled once by win, instead of aggregated (2
+    # exchanges for the distinct) and then joined back against a second
+    # full build of itself (guide §2.4: remove shuffles outright).
+    wwin = Window.partitionBy("win")
+    dup = (
+        w.select(
+            "doc_id", "i",
+            F.min("doc_id").over(wwin).alias("mn"),
+            F.max("doc_id").over(wwin).alias("mx"),
+        )
+        .where(F.col("mn") != F.col("mx"))
+        .select("doc_id", "i")
     )
-    dup = w.join(dupw, "win").select("doc_id", "i")
     isl = (
         dup.withColumn(
             "g",

@@ -51,8 +51,6 @@ def q_llm_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s1 = d.join(keep1, "doc_id")
-
     # stage 2: near-dup dedup (drop the larger id of each pair);
     # pinned eagerly — stages 2-4 all sit on this lineage, and without
     # the checkpoint each stage aggregate re-runs the whole candidate-
@@ -62,46 +60,62 @@ def q_llm_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         .localCheckpoint(eager=True)
     )
-    s2 = s1.join(losers, "doc_id", "left_anti")
 
-    # stage 3: quality gate
-    s3 = s2.where(F.col("n_toks") >= MIN_TOKENS)
-
-    # stage 4: decontamination (held-out docs + 8-token-prefix matches)
+    # stages 3-4 inputs: quality gate is a predicate; decontamination
+    # removes held-out docs (doc_id % TEST_MOD = 0) and 8-token-head
+    # prefix matches against them
     prefix = F.array_join(F.slice(tokens("text"), 1, 8), " ")
     test_prefixes = (
         d.where(F.col("doc_id") % TEST_MOD == 0)
         .select(prefix.alias("pfx")).distinct()
     )
-    s4 = (
-        s3.where(F.col("doc_id") % TEST_MOD != 0)
-        .withColumn("pfx", prefix)
-        .join(F.broadcast(test_prefixes), "pfx", "left_anti")
-        .drop("pfx")
-    )
 
-    def stat(df: DataFrame, stage: int, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(stage).cast("long").alias("stage"),
-            F.lit(name).alias("stage_name"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_toks").alias("n_tokens"),
+    # ---- stage statistics in ONE corpus pass (r11) ----
+    # The funnel's five stages chain on one lineage; the previous form
+    # unioned five df.agg() calls, re-running the exact-dedup subtree
+    # once per stage (d scanned 6×). Stage membership is monotone, so
+    # mark each doc with per-stage survival FLAGS (the semi/anti joins
+    # become left joins + null tests — row-identical) and fold ALL
+    # stage counts into one aggregate row, then stack() it into the
+    # 5-row funnel.
+    f = (
+        d.withColumn("pfx", prefix)
+        .join(keep1.withColumn("_k", F.lit(1)), "doc_id", "left")
+        .join(losers.withColumn("_l", F.lit(1)), "doc_id", "left")
+        .join(
+            F.broadcast(test_prefixes.withColumn("_p", F.lit(1))),
+            "pfx", "left",
         )
-
-    raw_n = d.agg(F.count(F.lit(1)).alias("n0"))
-    out = (
-        stat(d, 0, "raw")
-        .unionAll(stat(s1, 1, "exact_dedup"))
-        .unionAll(stat(s2, 2, "neardup_dedup"))
-        .unionAll(stat(s3, 3, "quality_gate"))
-        .unionAll(stat(s4, 4, "decontaminated"))
+    )
+    in1 = F.col("_k").isNotNull()
+    in2 = in1 & F.col("_l").isNull()
+    in3 = in2 & (F.col("n_toks") >= MIN_TOKENS)
+    in4 = in3 & (F.col("doc_id") % TEST_MOD != 0) & F.col("_p").isNull()
+    agg = f.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("n_toks").alias("t0"),
+        *[
+            c
+            for i, cond in ((1, in1), (2, in2), (3, in3), (4, in4))
+            for c in (
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"n{i}"),
+                F.sum(F.when(cond, F.col("n_toks")).otherwise(0)).alias(f"t{i}"),
+            )
+        ],
+    )
+    names = ["raw", "exact_dedup", "neardup_dedup", "quality_gate",
+             "decontaminated"]
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), '{names[i]}', n{i}, t{i}, "
+        f"ROUND(CAST(n{i} AS DOUBLE) / n0, 6)"
+        for i in range(5)
     )
     return (
-        out.crossJoin(F.broadcast(raw_n))
-        .select(
-            "stage", "stage_name", "n_docs", "n_tokens",
-            F.round(F.col("n_docs").cast("double") / F.col("n0"), 6)
-            .alias("doc_share"),
+        agg.select(
+            F.expr(
+                f"stack(5, {stack_args}) AS "
+                "(stage, stage_name, n_docs, n_tokens, doc_share)"
+            )
         )
         .orderBy("stage")
     )

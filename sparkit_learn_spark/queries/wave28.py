@@ -71,10 +71,18 @@ def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combining aggregate per group; no joins, no pair
     explosion."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Tie counts via a RANGE(0,0) frame on the SAME window spec as the
+    # rank: COUNT(*) OVER (PARTITION BY grp, value) equals the count of
+    # the current value's peer group, which is exactly what a
+    # range-current-row frame on (PARTITION BY grp ORDER BY value)
+    # yields — so each variable needs ONE sort instead of two (the
+    # separate tie windows hash-partitioned on (grp, value) and forced
+    # 4 sorts + 2 extra exchanges; guide §2.4: two operations keyed the
+    # same way share one exchange/sort).
     wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    wqt = Window.partitionBy("l_returnflag", "l_quantity")
+    wqt = wq.rangeBetween(0, 0)
     wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wpt = Window.partitionBy("l_returnflag", "l_extendedprice")
+    wpt = wp.rangeBetween(0, 0)
     r = li.select(
         F.col("l_returnflag").alias("grp"),
         (2 * F.rank().over(wq) + F.count("*").over(wqt) - 1)

@@ -238,13 +238,16 @@ def q_ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # y feeds three consumers (tot, the round-1 histogram, and the
+    # residual pass) — persist the 3-column projection so the fact is
+    # scanned once instead of three times.
     y = li.select(
         F.col("l_quantity").cast("long").alias("q"),
         F.month("l_shipdate").cast("long").alias("m"),
         (F.round(F.col("l_extendedprice") * 100).cast("long") * 10000).alias(
             "ym"
         ),
-    )
+    ).persist()
     dec = "decimal(38,0)"
     tot = y.agg(
         F.count(F.lit(1)).alias("n"),
@@ -287,6 +290,8 @@ def q_ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     s1 = split(y.select("q", F.col("ym").alias("tgt")), "q", "t1")
+    # leaf (1 row) feeds both the residual pass and the final select —
+    # persist so the round-1 split search doesn't run twice
     leaf = s1.select(
         "t1",
         F.round(F.col("sl").cast("double") / F.col("nl"))
@@ -299,7 +304,7 @@ def q_ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sl").cast("double") * F.col("sl") / F.col("nl")
             + F.col("sr").cast("double") * F.col("sr") / F.col("nr")
         ).alias("score1"),
-    )
+    ).persist()
     resid = y.crossJoin(F.broadcast(leaf)).select(
         "m",
         (

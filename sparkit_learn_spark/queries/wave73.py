@@ -130,7 +130,7 @@ def q_evt_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
-_SHAPLEY_SQL = """
+_SHAPLEY_HEAD = """
     WITH seq AS (
         SELECT user_id, event_type,
                ROW_NUMBER() OVER (PARTITION BY user_id
@@ -167,8 +167,10 @@ _SHAPLEY_SQL = """
                CAST(COUNT(t.user_id) AS BIGINT) AS users
         FROM subsets sub LEFT JOIN touches t
           ON (t.mask & sub.s) = t.mask
-        GROUP BY sub.s, sub.pc),
-    channels AS (
+        GROUP BY sub.s, sub.pc)"""
+
+_SHAPLEY_TAIL = """
+    {w} channels AS (
         SELECT 'click' AS channel, CAST(1 AS BIGINT) AS bit
         UNION ALL SELECT 'error', CAST(2 AS BIGINT)
         UNION ALL SELECT 'signup', CAST(4 AS BIGINT)
@@ -178,8 +180,8 @@ _SHAPLEY_SQL = """
                CAST(CASE WHEN vs.pc = 0 OR vs.pc = 3 THEN 3 ELSE 1 END
                     * (vi.convs - vs.convs) AS BIGINT) AS t12
         FROM channels c
-        JOIN v vs ON (vs.s & c.bit) = 0
-        JOIN v vi ON vi.s = vs.s + c.bit),
+        JOIN {v} vs ON (vs.s & c.bit) = 0
+        JOIN {v} vi ON vi.s = vs.s + c.bit),
     shap AS (
         SELECT channel, CAST(SUM(t12) AS BIGINT) AS phi12
         FROM terms GROUP BY channel),
@@ -193,10 +195,16 @@ _SHAPLEY_SQL = """
     ORDER BY s.channel
 """
 
+# single-source template: the oracle runs HEAD+TAIL as one statement
+# (TAIL continues the CTE list, v referenced by name); the Spark path
+# materializes the 16-row v once and runs TAIL standalone against it.
+_SHAPLEY_SQL = _SHAPLEY_HEAD + _SHAPLEY_TAIL
+
 
 @register(
     "q_evt_shapley_attribution",
-    oracle=_SHAPLEY_SQL.format(events="events", range16="range(16) r(s)"),
+    oracle=_SHAPLEY_SQL.format(events="events", range16="range(16) r(s)",
+                               w=",", v="v"),
 )
 def q_evt_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Shapley-value attribution over the 4-channel coalition
@@ -221,10 +229,20 @@ def q_evt_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "events_shapley_v"
     )
-    sql = _SHAPLEY_SQL.format(
-        events="events_shapley_v",
-        range16="range(16) AS r(s)",
-    ).replace("(s // 2)", "(s div 2)").replace(
-        "(s // 4)", "(s div 4)"
-    ).replace("(s // 8)", "(s div 8)")
-    return spark.sql(sql)
+    # Materialize the 16-row coalition table v ONCE: the terms CTE
+    # references it twice (vs and vi), and with plain CTE inlining the
+    # whole fact pipeline (seq window + firstp join + touches agg) ran
+    # once per reference — plus again for each of shap's two consumers
+    # (54 exchanges in the before-plan). Persisting v caps the fact
+    # work at one pass regardless of downstream fan-out.
+    head_sql = (
+        _SHAPLEY_HEAD.format(
+            events="events_shapley_v", range16="range(16) AS r(s)"
+        ).replace("(s // 2)", "(s div 2)")
+        .replace("(s // 4)", "(s div 4)")
+        .replace("(s // 8)", "(s div 8)")
+        + "\n    SELECT s, pc, convs, users FROM v"
+    )
+    v_df = spark.sql(head_sql).persist()
+    v_df.createOrReplaceTempView("shapley_v_mat")
+    return spark.sql(_SHAPLEY_TAIL.format(w="WITH", v="shapley_v_mat"))

@@ -138,7 +138,12 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal_q import _blob_frame
 
     d = load_table(spark, sf_dir, "documents")
-    sk = dhash64(_blob_frame(d, _make_pixel_blob))
+    # persist the 12-byte/row (id, dhash) sketch: the band self-join
+    # consumes it on BOTH sides, and without materialization each side
+    # re-ran the whole mapInPandas blob-synth + dhash pipeline (the
+    # before-plan had 8 ArrowEval/MapInPandas nodes — guide §4: pay the
+    # Python boundary once).
+    sk = dhash64(_blob_frame(d, _make_pixel_blob)).persist()
     bands = sk.select(
         "item_id",
         "dhash",

@@ -141,8 +141,6 @@ def q_dq_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch at the same plan shape.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    li = li.persist()
-    n = li.agg(F.count(F.lit(1)).alias("n"))
     cands = [
         ("l_orderkey", F.col("l_orderkey")),
         ("l_partkey", F.col("l_partkey")),
@@ -155,11 +153,23 @@ def q_dq_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") * 4294967296 + F.col("l_partkey"),
         ),
     ]
+    # Persist the 4-column CANDIDATE projection, not the whole fact:
+    # the four NDV passes then read 32 bytes/row from cache instead of
+    # re-materializing all 16 lineitem columns, and the count rides on
+    # the same cache. (A single multi-distinct aggregate was tried
+    # first — Spark plans it as Expand×4 + 5-key partial aggregate and
+    # it measured 2.7× SLOWER than the separate passes at sf0.1, so the
+    # per-candidate passes stay; guide §1.1: measure, then keep what
+    # wins.)
+    proj = li.select(
+        *[expr.alias(f"c{i}") for i, (_, expr) in enumerate(cands)]
+    ).persist()
+    n = proj.agg(F.count(F.lit(1)).alias("n"))
     parts = None
-    for name, expr in cands:
-        one = li.agg(
-            F.countDistinct(expr).alias("ndv")
-        ).select(F.lit(name).alias("key_cols"), "ndv")
+    for i, (name, _) in enumerate(cands):
+        one = proj.agg(F.countDistinct(f"c{i}").alias("ndv")).select(
+            F.lit(name).alias("key_cols"), "ndv"
+        )
         parts = one if parts is None else parts.unionAll(one)
     return (
         parts.crossJoin(F.broadcast(n))

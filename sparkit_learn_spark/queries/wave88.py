@@ -175,10 +175,17 @@ def q_stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1).alias("avg2"),
     )
+    # pg is 5 rows but fans out to TWO consumers (hh and the final
+    # projection); without materialization the whole g->window->join
+    # pipeline executes once per consumer (the before-plan showed the
+    # value-domain window twice — 34 exchanges). Persisting the 5-row
+    # frame runs the pipeline exactly once (guide §5: reuse + cheap
+    # recompute is the persist case).
     pg = (
         g.join(r, "v")
         .groupBy("grp")
         .agg(F.sum("cg").alias("ng"), F.sum(F.col("cg") * F.col("avg2")).alias("r2"))
+        .persist()
     )
     n = h.agg(
         F.sum("c").alias("n"),

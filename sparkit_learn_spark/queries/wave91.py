@@ -9,7 +9,7 @@ integer dot products; McNemar is pure integer counts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -117,31 +117,38 @@ def matrix_profile_days(spark: SparkSession, day_vals: list[int], *,
     branches are directly property-testable (the query picks the
     branch from the 7·vmax² < 2⁶³ guard; tests/test_stats_numpy.py
     pins long/decimal parity on the same series AND decimal
-    exactness on long-overflowing magnitudes)."""
-    d = spark.createDataFrame(
-        [(i + 1, v) for i, v in enumerate(day_vals)], "i int, v long")
-    wlead = Window.orderBy("i")
-    arr = d.select(
-        F.col("i").alias("ws"),
-        F.array(
-            F.col("v"),
-            *[F.lead("v", k).over(wlead) for k in range(1, 7)],
-        ).alias("a"),
-    ).filter(~F.array_contains(F.expr("transform(a, x -> x is null)"), F.lit(True)))
-    q_expr = (
-        "aggregate(a, 0L, (acc, x) -> acc + x * x)" if exact_long else
-        "aggregate(a, CAST(0 AS DECIMAL(38,0)), (acc, x) -> "
-        "acc + CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))")
+    exactness on long-overflowing magnitudes).
+
+    r11: the 7-value windows are laid out as SEVEN SCALAR LONG COLUMNS
+    of the (already driver-resident, calendar-bounded) day list rather
+    than lead()-built arrays — the window moments and all cross-window
+    dot products become whole-stage-codegen integer arithmetic instead
+    of interpreted higher-order-function lambdas, and dropping the
+    global-order lead() window removes the SinglePartition exchange
+    that previously funneled the days² pair stage into ONE task."""
+    n_win = len(day_vals) - 6
+    arr = spark.createDataFrame(
+        [tuple([i + 1] + day_vals[i:i + 7]) for i in range(max(n_win, 0))],
+        "ws int, " + ", ".join(f"v{k} long" for k in range(7)))
+    vs = [F.col(f"v{k}") for k in range(7)]
+    if exact_long:
+        q_col = sum((v * v for v in vs[1:]), vs[0] * vs[0])
+    else:
+        dv = [v.cast("decimal(19,0)") for v in vs]
+        q_col = sum((v * v for v in dv[1:]), dv[0] * dv[0]).cast(
+            "decimal(38,0)")
     mo = arr.select(
-        "ws",
-        "a",
-        F.expr("aggregate(a, 0L, (acc, x) -> acc + x)").alias("s"),
-        F.expr(q_expr).alias("q"),
+        "ws", *[f"v{k}" for k in range(7)],
+        sum(vs[1:], vs[0]).alias("s"),
+        q_col.alias("q"),
     )
     var7 = 7 * F.col("q").cast("double") - F.col("s").cast("double") * F.col("s").cast("double")
-    mo2 = mo.filter(var7 > 0).select("ws", "a", "s", F.sqrt(var7).alias("sig7")).persist()
+    mo2 = mo.filter(var7 > 0).select(
+        "ws", *[f"v{k}" for k in range(7)], "s", F.sqrt(var7).alias("sig7")
+    ).persist()
     b = mo2.select(
-        F.col("ws").alias("ib"), F.col("a").alias("ab"),
+        F.col("ws").alias("ib"),
+        *[F.col(f"v{k}").alias(f"b{k}") for k in range(7)],
         F.col("s").alias("sb"), F.col("sig7").alias("sigb"),
     )
     pairs = mo2.join(
@@ -149,12 +156,15 @@ def matrix_profile_days(spark: SparkSession, day_vals: list[int], *,
         (F.col("ib") >= F.col("ws") + 7) | (F.col("ib") <= F.col("ws") - 7),
     )
     # same overflow guard for the cross-window dot products
-    qt = F.expr(
-        "aggregate(zip_with(a, ab, (x, y) -> x * y), 0L, "
-        "(acc, x) -> acc + x)" if exact_long else
-        "aggregate(zip_with(a, ab, (x, y) -> "
-        "CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))), "
-        "CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x)")
+    bs = [F.col(f"b{k}") for k in range(7)]
+    if exact_long:
+        qt = sum((x * y for x, y in zip(vs[1:], bs[1:])), vs[0] * bs[0])
+    else:
+        qt = sum(
+            (x.cast("decimal(19,0)") * y.cast("decimal(19,0)")
+             for x, y in zip(vs[1:], bs[1:])),
+            vs[0].cast("decimal(19,0)") * bs[0].cast("decimal(19,0)"),
+        ).cast("decimal(38,0)")
     d2 = F.greatest(
         14.0
         * (

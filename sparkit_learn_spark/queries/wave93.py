@@ -67,6 +67,11 @@ def q_llm_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
     )
+    # NOTE: no .distinct() — every downstream consumer is MIN(md5(...))
+    # per (doc, hash j), and min over a multiset equals min over its
+    # set, so deduplicating the (doc_id, shingle) pairs first only
+    # added a full string shuffle for nothing (guide §2.4: remove
+    # shuffles outright). The map-side min combine absorbs duplicates.
     sh = (
         t.filter(F.size("toks") >= 4)
         .select(
@@ -78,7 +83,6 @@ def q_llm_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
-        .distinct()
     )
     # all 8 signature mins in ONE aggregation pass (no position explode,
     # no (doc, j)-grain shuffle — 8x less aggregate input than the

@@ -439,11 +439,21 @@ def neardup_dedup_stream(docs: DataFrame, corpus_fps: DataFrame,
 def neardup_dedup_batch(docs: DataFrame, corpus_fps: DataFrame) -> DataFrame:
     """Batch twin of :func:`neardup_dedup_stream` with a DETERMINISTIC
     representative (earliest ingest_ts, then doc_id, per fingerprint)
-    — same surviving-fingerprint set; used for stream parity."""
-    keyed = docs.select(
-        "doc_id", "source", "ingest_ts",
-        neardup_fingerprint(F.col("text")).alias("fp"),
-    )
+    — same surviving-fingerprint set; used for stream parity.
+
+    If ``docs`` already carries an ``fp`` column it is used as-is
+    (identical expression contract as :func:`neardup_fingerprint`) —
+    callers that fingerprint the whole batch once (q_stream_neardup_
+    dedup persists the 32-byte keyed projection and derives BOTH the
+    corpus set and the incoming side from it) avoid re-running the
+    regex normalization + sha256 over the text per consumer."""
+    if "fp" in docs.columns:
+        keyed = docs.select("doc_id", "source", "ingest_ts", "fp")
+    else:
+        keyed = docs.select(
+            "doc_id", "source", "ingest_ts",
+            neardup_fingerprint(F.col("text")).alias("fp"),
+        )
     fresh = keyed.join(corpus_fps, "fp", "left_anti")
     w = Window.partitionBy("fp").orderBy("ingest_ts", "doc_id")
     return (

@@ -843,3 +843,30 @@ def test_join_then_agg_parity(spark, sf_dir, events_batch):
         e = exp_keyed.loc[r["window_start"]]
         assert int(r["n_pairs"]) == int(e["n_pairs"])
         assert int(r["n_even_clicks"]) == int(e["n_even_clicks"])
+
+
+def test_neardup_dedup_batch_precomputed_fp_path(spark, sf_dir):
+    """r11 optimization seam: neardup_dedup_batch with a precomputed
+    `fp` column (q_stream_neardup_dedup fingerprints the whole batch
+    once and persists the keyed projection) must return exactly the
+    rows of the compute-from-text path."""
+    from sparkit_learn_spark.sources.parquet_io import (
+        documents_batch_with_ingest_ts)
+
+    batch = documents_batch_with_ingest_ts(spark, sf_dir)
+    median = batch.approxQuantile("doc_id", [0.5], 0.0)[0]
+    corpus_fps = (
+        batch.filter(F.col("doc_id") < median)
+        .select(T.neardup_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    incoming_text = batch.filter(F.col("doc_id") >= median)
+    incoming_fp = incoming_text.select(
+        "doc_id", "source", "ingest_ts",
+        T.neardup_fingerprint(F.col("text")).alias("fp"),
+    )
+    compare_frames(
+        T.neardup_dedup_batch(incoming_fp, corpus_fps).toPandas(),
+        T.neardup_dedup_batch(incoming_text, corpus_fps).toPandas(),
+        name="neardup_batch_fp_seam",
+    )
