@@ -951,6 +951,74 @@ def cosine_retrieve(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
                          schema="qid long, nid long, sim double, rn long")
 
 
+def panel_all_sims(corpus: DataFrame, panel: DataFrame, *,
+                   corpus_id: str = "vec_id", vec_col: str = "embedding",
+                   panel_id: str = "qid", panel_vec: str = "q_emb",
+                   payload_cols: list[str] | None = None,
+                   exclude_self: bool = True,
+                   max_panel_rows: int = 4096) -> DataFrame:
+    """ALL pairwise (panel × corpus) dot products, 6dp-rounded — the
+    exhaustive sims table behind fixed-panel evals (retrieval metrics,
+    RRF fusion). The tiny panel is collected (bounded by contract —
+    eval panels are dozens of queries) and each corpus Arrow batch is
+    scored with ONE float64 BLAS matmul, replacing the broadcast
+    nested-loop join whose per-pair interpreted zip_with/aggregate
+    lambda dominated the eval queries (guide §4.2: hand whole batches
+    to vectorized native code). Determinism contract identical to
+    cosine_topk: np.round(·, 6) of the float64 matmul agrees with the
+    oracle's 6dp-rounded sequential list_sum on every fixture SF (the
+    same empirical contract the hash-green cosine_topk/cosine_retrieve
+    already rely on).
+
+    Emits (qid, cid, sim, *payload_cols copied from the corpus row);
+    per-query panel attributes join back JVM-side on the qid key."""
+    import numpy as np
+    import pandas as pd
+
+    payload_cols = payload_cols or []
+    prow = panel.select(panel_id, panel_vec).limit(max_panel_rows + 1).collect()
+    if len(prow) > max_panel_rows:
+        raise ValueError(
+            f"panel exceeds {max_panel_rows} rows — this operator is for "
+            "fixed eval panels; shard the panel or use cosine_retrieve")
+    qids = np.array([r[panel_id] for r in prow], dtype=np.int64)
+    Q = np.array([np.asarray(r[panel_vec], dtype=np.float64) for r in prow])
+    spark = corpus.sparkSession
+    b_qids = spark.sparkContext.broadcast(qids)
+    b_Q = spark.sparkContext.broadcast(Q)
+
+    src = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(vec_col).alias("vb"),
+        *payload_cols,
+    )
+    pay_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields if f.name in payload_cols
+    )
+
+    def score_batches(batches):
+        qn, qm = b_qids.value, b_Q.value
+        nq = len(qn)
+        for pdf in batches:
+            nb = len(pdf)
+            if nb == 0:
+                continue
+            C = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            S = np.round(qm @ C.T, 6)          # (nq, nb)
+            out_qid = np.repeat(qn, nb)
+            out_cid = np.tile(pdf["cid"].to_numpy(), nq)
+            out = {"qid": out_qid, "cid": out_cid, "sim": S.ravel()}
+            for c in payload_cols:
+                out[c] = np.tile(pdf[c].to_numpy(), nq)
+            res = pd.DataFrame(out)
+            if exclude_self:
+                res = res[res["qid"] != res["cid"]]
+            yield res
+
+    return _spread(src).mapInPandas(
+        score_batches, schema="qid long, cid long, sim double" + pay_schema)
+
+
 def semdedup(emb: DataFrame, *, n_clusters: int | None = None,
              threshold: float = 0.4, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42,

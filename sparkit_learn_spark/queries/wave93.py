@@ -67,11 +67,13 @@ def q_llm_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
     )
-    # NOTE: no .distinct() — every downstream consumer is MIN(md5(...))
-    # per (doc, hash j), and min over a multiset equals min over its
-    # set, so deduplicating the (doc_id, shingle) pairs first only
-    # added a full string shuffle for nothing (guide §2.4: remove
-    # shuffles outright). The map-side min combine absorbs duplicates.
+    # r11 note: dropping this .distinct() was TRIED (min over multiset
+    # == min over set, so it is semantically free) and benched SLOWER
+    # at sf0.1 (1.53 -> 1.77/2.78 s warm): the fixture's duplicate
+    # (doc, shingle) pairs make the 8 md5s per surviving duplicate cost
+    # more than the one string shuffle the distinct spends removing
+    # them. Kept — a dup-light corpus at scale may prefer the reverse;
+    # measure there (guide §1.1).
     sh = (
         t.filter(F.size("toks") >= 4)
         .select(
@@ -83,6 +85,7 @@ def q_llm_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
+        .distinct()
     )
     # all 8 signature mins in ONE aggregation pass (no position explode,
     # no (doc, j)-grain shuffle — 8x less aggregate input than the

@@ -69,6 +69,13 @@ def main() -> None:
         print(json.dumps({"query": name, "build_s": round(build_best, 3),
                           "exec_s": min(runs), "runs": runs}))
         sys.stdout.flush()
+        # mirror bench.py's per-query state release (r11)
+        try:
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(True)
+        except Exception:
+            pass
     spark.stop()
 
 
