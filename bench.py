@@ -205,6 +205,15 @@ def _release_query_state(spark) -> None:
         # on whatever follows a cache-heavy query
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(True)
+        # Broadcasts (collected candidate matrices, panel rows, …) are
+        # only reaped by ContextCleaner after BOTH the Python handle
+        # and the JVM weak ref die; without an explicit GC nudge they
+        # accumulate across 142 queries and the tail of the run pays
+        # the memory pressure. Runs BETWEEN queries — never inside a
+        # timed region.
+        import gc
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
     except Exception:
         pass  # measurement hygiene only — never fail the bench over it
 

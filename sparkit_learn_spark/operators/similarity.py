@@ -860,35 +860,53 @@ def mmr_rerank_candidates(cand: DataFrame, emb: DataFrame, *,
 
     vecs = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
     joined = cand.select("qid", "nid", "sim").join(vecs, "nid")
+    # r11 (guide §4.1): pack each query's ≤fetch candidates into ONE
+    # row with collect_list, then run the greedy over WHOLE Arrow
+    # batches in mapInPandas — the previous per-group applyInPandas
+    # paid one Python/pandas round-trip per qid (~2k calls of ~20 rows
+    # each at sf0.1; the call overhead, not the numpy greedy, dominated
+    # the query). Shuffle volume is unchanged (same rows keyed by qid);
+    # only the Python boundary granularity changes, and the per-group
+    # numerics below are byte-for-byte the old greedy.
+    packed = joined.groupBy("qid").agg(
+        F.collect_list(F.struct("nid", "sim", "nv")).alias("cands"))
 
-    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["sim", "nid"], ascending=[False, True])
-        nids = pdf["nid"].to_numpy()
-        sims = pdf["sim"].to_numpy(dtype=np.float64)
-        C = np.array([np.asarray(v, np.float64) for v in pdf["nv"]])
-        qid = int(pdf["qid"].iloc[0])
-        n = len(nids)
-        picked: list[int] = []
-        pen = np.zeros(n)
-        avail = np.ones(n, dtype=bool)
-        rows = []
-        for rank in range(1, min(k, n) + 1):
-            score = lam * sims - (1 - lam) * pen
-            score[~avail] = -np.inf
-            # deterministic argmax with nid tiebreak: nids are sim-desc,
-            # nid-asc sorted, and argmax returns the first maximum
-            j = int(np.argmax(np.round(score, 9)))
-            picked.append(j)
-            avail[j] = False
-            rows.append((qid, int(nids[j]), rank,
-                         float(sims[j]), float(pen[j])))
-            new_sim = np.round(C @ C[j], 6)
-            pen = np.maximum(pen, new_sim)
-        return pd.DataFrame(rows, columns=["qid", "nid", "mmr_rank",
-                                           "relevance", "diversity_penalty"])
+    def greedy_batches(batches):
+        for pdf in batches:
+            rows = []
+            for qid, cands in zip(pdf["qid"], pdf["cands"]):
+                nids = np.fromiter((c["nid"] for c in cands),
+                                   dtype=np.int64, count=len(cands))
+                sims = np.fromiter((c["sim"] for c in cands),
+                                   dtype=np.float64, count=len(cands))
+                # sim-desc, nid-asc — identical order to the old
+                # sort_values(["sim","nid"], ascending=[False,True])
+                order = np.lexsort((nids, -sims))
+                nids, sims = nids[order], sims[order]
+                C = np.array([np.asarray(cands[i]["nv"], np.float64)
+                              for i in order])
+                qid = int(qid)
+                n = len(nids)
+                pen = np.zeros(n)
+                avail = np.ones(n, dtype=bool)
+                for rank in range(1, min(k, n) + 1):
+                    score = lam * sims - (1 - lam) * pen
+                    score[~avail] = -np.inf
+                    # deterministic argmax with nid tiebreak: nids are
+                    # sim-desc, nid-asc sorted, and argmax returns the
+                    # first maximum
+                    j = int(np.argmax(np.round(score, 9)))
+                    avail[j] = False
+                    rows.append((qid, int(nids[j]), rank,
+                                 float(sims[j]), float(pen[j])))
+                    new_sim = np.round(C @ C[j], 6)
+                    pen = np.maximum(pen, new_sim)
+            yield pd.DataFrame(rows, columns=["qid", "nid", "mmr_rank",
+                                              "relevance",
+                                              "diversity_penalty"])
 
-    return joined.groupBy("qid").applyInPandas(
-        greedy,
+    return packed.mapInPandas(
+        greedy_batches,
         schema=("qid long, nid long, mmr_rank int, relevance double, "
                 "diversity_penalty double"),
     )

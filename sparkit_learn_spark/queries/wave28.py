@@ -79,6 +79,15 @@ def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separate tie windows hash-partitioned on (grp, value) and forced
     # 4 sorts + 2 extra exchanges; guide §2.4: two operations keyed the
     # same way share one exchange/sort).
+    #
+    # r11 negative result (guide §1.1): replacing the QUANTITY window
+    # with a tiny (grp × ~50-value) histogram rank broadcast-joined
+    # back (rx2 = 2·cum_lt + cnt + 1) measured consistently SLOWER
+    # warm at sf0.1 (1.22 → 1.36 s best-of-4, same JVM): the broadcast
+    # join plus carrying the decimal rx2 through the price sort cost
+    # more than the saved second sort, because both windows share one
+    # returnflag exchange and the second sort alone is cheap. Kept the
+    # two-window form.
     wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     wqt = wq.rangeBetween(0, 0)
     wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")

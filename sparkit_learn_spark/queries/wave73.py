@@ -233,8 +233,19 @@ def q_evt_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # references it twice (vs and vi), and with plain CTE inlining the
     # whole fact pipeline (seq window + firstp join + touches agg) ran
     # once per reference — plus again for each of shap's two consumers
-    # (54 exchanges in the before-plan). Persisting v caps the fact
-    # work at one pass regardless of downstream fan-out.
+    # (54 exchanges in the before-plan).
+    #
+    # r11: persist() here was a silent NO-OP — CacheManager never
+    # substitutes a cached plan that contains WithCTE when the view is
+    # re-referenced (each view expansion analyzes to fresh CTE ids, so
+    # the canonicalized lookup misses; verified: the tail's plan had
+    # zero InMemoryRelation nodes and 0 persistent RDDs after exec, so
+    # the fact pipeline still ran once PER REFERENCE). An eager
+    # localCheckpoint of the 16-row v genuinely truncates the lineage:
+    # the fact work runs exactly once per call, and the tail is
+    # constant-size (tail exec 4.2 s -> ~0.1 s fresh-JVM; the one fact
+    # pass moves to build where the other checkpoint pipelines already
+    # account it).
     head_sql = (
         _SHAPLEY_HEAD.format(
             events="events_shapley_v", range16="range(16) AS r(s)"
@@ -243,6 +254,6 @@ def q_evt_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("(s // 8)", "(s div 8)")
         + "\n    SELECT s, pc, convs, users FROM v"
     )
-    v_df = spark.sql(head_sql).persist()
+    v_df = spark.sql(head_sql).localCheckpoint(eager=True)
     v_df.createOrReplaceTempView("shapley_v_mat")
     return spark.sql(_SHAPLEY_TAIL.format(w="WITH", v="shapley_v_mat"))

@@ -539,6 +539,37 @@ def test_mmr_rerank_matches_numpy_greedy(spark, sf_dir):
     )
 
 
+def test_mmr_candidates_batched_ties_and_short_groups(spark):
+    """Focused pin for the r11 batched greedy (collect_list +
+    mapInPandas replaced per-group applyInPandas): tie-heavy sims must
+    break on nid exactly as the old sort_values order did, groups with
+    fewer candidates than k emit all of them, and every group in one
+    Arrow batch is processed independently."""
+    from sparkit_learn_spark.operators.similarity import mmr_rerank_candidates
+
+    # qid 1: all sims EQUAL -> picks must walk nid ascending (rank 1
+    # is nid 10; later ranks re-score with the diversity penalty but
+    # the identical vectors keep scores tied, so nid order persists).
+    # qid 2: two candidates with k=3 -> exactly two output rows.
+    cand = spark.createDataFrame(
+        [(1, 10, 0.5), (1, 11, 0.5), (1, 12, 0.5),
+         (2, 20, 0.9), (2, 21, 0.3)],
+        schema="qid long, nid long, sim double",
+    )
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [1.0, 0.0]), (12, [1.0, 0.0]),
+         (20, [0.0, 1.0]), (21, [1.0, 0.0])],
+        schema="vec_id long, embedding array<double>",
+    )
+    got = mmr_rerank_candidates(cand, emb, k=3, lam=0.7).toPandas()
+    g1 = got[got["qid"] == 1].sort_values("mmr_rank")
+    assert g1["nid"].tolist() == [10, 11, 12]
+    assert g1["mmr_rank"].tolist() == [1, 2, 3]
+    g2 = got[got["qid"] == 2].sort_values("mmr_rank")
+    assert g2["nid"].tolist() == [20, 21]
+    assert float(g2["diversity_penalty"].iloc[0]) == 0.0
+
+
 def test_roc_auc_matches_numpy_ranksum(spark, sf_dir):
     """The distributed rank-sum AUC equals a numpy Mann-Whitney
     reference (average ranks, same 6dp score binning) on the same
