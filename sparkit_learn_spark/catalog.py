@@ -40,6 +40,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Guarantee at least ``defaultParallelism`` partitions ahead of an
+    expensive per-row map stage (tokenize/shingle/hash pipelines, blob
+    synthesis, BLAS batches). A small parquet fixture is ONE row group,
+    so it scans as a single partition and everything before the first
+    exchange runs on one core — measured r11: the 8×md5 signature
+    aggregate of q_llm_lsh_bucket_stats dropped 1.90 s → 0.89 s at
+    sf0.1 from this repartition alone. At corpus scale the input
+    already has ≥ parallelism partitions and this is a structural
+    no-op; the repartition only fires when the data is small enough
+    for its shuffle to be nearly free (the same guard
+    operators/similarity._spread has always applied to embeddings)."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for spark.sql queries)."""
     for t in TABLES:

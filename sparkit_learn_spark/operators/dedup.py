@@ -72,7 +72,16 @@ DEFAULT_MAX_SHINGLE_DF = 100
 def shingle_index(docs: DataFrame, *, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 5) -> DataFrame:
     """Distinct (id, shingle) inverted-index rows for k-token shingles
-    of documents with ≥ k tokens."""
+    of documents with ≥ k tokens.
+
+    r11 negative result (guide §1.1): spreading the single-row-group
+    fixture scan here (catalog.spread_scan) was tried and REVERTED —
+    the map itself is cheap, but every localCheckpoint consumer then
+    reads 32 tiny partitions and pays per-task overhead on each of its
+    ~6 downstream aggregates/joins (q_llm_setjoin_prefix 1.2 -> 5.8 s,
+    q_llm_ngram_jaccard 0.9 -> 2.2 s). The spread belongs where ONE
+    heavy JVM map dominates (q_llm_lsh_bucket_stats), not ahead of a
+    many-consumer checkpoint."""
     return (
         docs.select(id_col, tokens(text_col).alias("toks"))
         .filter(F.size("toks") >= k)

@@ -350,6 +350,12 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     train corpus here is the table itself; in production the profile
     table would be a fixed dimension input."""
     d = load_table(spark, sf_dir, "documents")
+    # r11 negative result (guide §1.1): catalog.spread_scan on this
+    # scan measured SLOWER (1.29 -> 1.92 s interleaved A/B) — dt, lt
+    # and vt are three consumers of the exploded lineage, and each
+    # re-reads 32 tiny partitions with per-task overhead; the spread
+    # only pays off where one heavy JVM map dominates a single
+    # consumer (q_llm_lsh_bucket_stats).
     toks = d.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
     # dt and lt are independent aggregations over the same exploded
     # lineage; Spark recomputes the (cheap, columnar) scan per branch.
@@ -362,10 +368,17 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = toks.groupBy("lang", "term").agg(F.count("*").alias("c"))
     langs = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
     n_total = d.count()  # one scalar
-    vocab_size = dt.select("term").distinct().count()  # one scalar
+    # r11: persist the VOCABULARY frame (distinct terms — tiny, ~30k
+    # single-string rows), not the doc×term aggregates the note above
+    # rejects: the vocab_size scalar AND the grid's distinct-term side
+    # both read it, which previously re-ran the full explode+distinct
+    # once each (exec 2.50 -> 1.66 s, build 7.2 -> 3.1 s at sf0.1,
+    # best-of-4 warm).
+    vt = dt.select("term").distinct().persist()
+    vocab_size = vt.count()  # one scalar, materializes vt
     totals = lt.groupBy("lang").agg(F.sum("c").alias("total"))
     grid = (
-        dt.select("term").distinct()
+        vt
         .crossJoin(F.broadcast(langs.select("lang")))
         .join(lt, ["lang", "term"], "left")
         .join(F.broadcast(totals), "lang")

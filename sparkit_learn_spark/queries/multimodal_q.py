@@ -86,6 +86,13 @@ def _blob_frame(docs: DataFrame, builder) -> DataFrame:
                          for i, c in zip(pdf["doc_id"], pdf["n_chars"])],
             })
 
+    # r11 negative result (guide §1.1): spreading this scan to 32
+    # partitions (catalog.spread_scan) made the sketch pipelines
+    # SLOWER (q_mm_phash_neardup sketch 1.0 -> 1.7 s): each fresh
+    # Python worker pays the package import, and 32 workers importing
+    # for ~190 rows each dwarfs the single-core synth it parallelized.
+    # JVM-side maps (md5/codegen) want the spread; tiny Python-stage
+    # fan-outs do not.
     return docs.select("doc_id", "n_chars").mapInPandas(
         build, schema="item_id long, data binary"
     )

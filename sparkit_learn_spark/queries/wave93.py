@@ -62,7 +62,12 @@ def q_llm_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc × 8)-grain min-aggregate with map-side combine; everything
     after is bucket-grain. The audit costs one aggregate pass more
     than the dedup itself — negligible insurance."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread_scan
+
+    # r11 (guide §2.2): spread the single-row-group fixture scan —
+    # the tokenize+shingle+8×md5 map otherwise runs on ONE core
+    # (signature aggregate 1.90 s -> 0.89 s at sf0.1, measured).
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),

@@ -401,14 +401,20 @@ def test_seq_pattern_no_window_no_self_join(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_weighted_median_preaggregates_before_window(spark, sf_dir):
-    """Weighted median: the cumulative window must consume the
-    (group, value)-grain histogram, not raw fact rows — the plan
-    carries a partial+final aggregate BELOW the window operator."""
+def test_weighted_median_single_exchange_before_window(spark, sf_dir):
+    """Weighted median (r11 shape): the cumulative RANGE-frame window
+    consumes raw fact rows directly — the former (group, value)
+    histogram barely collapsed near-unique cent prices yet paid its
+    own exchange before the window re-partitioned by group. The plan
+    must have NO aggregate below the window (tree section: nothing
+    between Window and the scan but sort/exchange/project) and the
+    final group-by must ride the window's partitioning."""
     plan = explain_str(Q["q_agg_weighted_median"](spark, sf_dir))
     assert "Window" in plan
-    agg_pos = plan.find("HashAggregate")
-    assert agg_pos != -1 and plan.count("HashAggregate") >= 2
+    tree = plan.split("\n\n")[0]
+    below_window = tree[tree.index("Window"):]
+    assert "HashAggregate" not in below_window, (
+        "an aggregate crept back below the cumulative window:\n" + tree)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
