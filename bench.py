@@ -205,15 +205,19 @@ def _release_query_state(spark) -> None:
         # on whatever follows a cache-heavy query
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(True)
-        # Broadcasts (collected candidate matrices, panel rows, …) are
-        # only reaped by ContextCleaner after BOTH the Python handle
-        # and the JVM weak ref die; without an explicit GC nudge they
-        # accumulate across 142 queries and the tail of the run pays
-        # the memory pressure. Runs BETWEEN queries — never inside a
-        # timed region.
+        # Python-side gc so dead broadcast handles release their JVM
+        # weak refs and ContextCleaner can reap them on the JVM's OWN
+        # schedule. A forced System.gc() here was tried (r11 batch 4)
+        # and REVERTED after two full-bench A/Bs: a full GC between
+        # every query clears Spark's soft-referenced codegen cache, so
+        # each subsequent query re-Janino-compiles its WholeStageCodegen
+        # — median +6% across 142 queries and 2-3x spikes on
+        # codegen-heavy ones (q_llm_substring_spans 0.96 -> 2.72 s,
+        # q_ml_als 2.13 -> 3.76 s, identical host calibration), total
+        # 77.3 s -> 88.4 s. clearCache + blocking unpersist alone are
+        # what fixed the tail poisoning.
         import gc
         gc.collect()
-        spark.sparkContext._jvm.System.gc()
     except Exception:
         pass  # measurement hygiene only — never fail the bench over it
 

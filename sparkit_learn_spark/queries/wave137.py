@@ -200,6 +200,11 @@ def q_ml_als(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").cast("int").alias("item"),
         )
         .agg(F.avg("l_quantity").cast("float").alias("rating"))
+        # r11 (guide §5): three consumers — als.fit, the top-10 active
+        # users aggregate, and the purchased anti-join side — each
+        # re-ran the orders⋈lineitem join + groupBy. Persist the
+        # (user,item,rating) frame once; fit materializes it.
+        .persist()
     )
     als = ALS(
         rank=8, maxIter=5, seed=42, regParam=0.1,
