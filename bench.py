@@ -326,8 +326,28 @@ def main() -> None:
         # -1 (VERDICT r7 item 6). The round being benched is one past
         # the newest driver-recorded BENCH_r{N}.json on disk.
         out["written_at_round"] = _newest_driver_round() + 1
+        # Baseline RATCHET (r10 verdict item 1): this sandbox host has
+        # periodic external CPU steal, and a single spiked run used to
+        # ratchet 2-5x phantom values into the baseline (r10: +8.5%
+        # with zero code change; r11 observed q_stat_kruskal_wallis
+        # 0.69 s true -> 2.80 s in one run). A per-query baseline only
+        # moves UP if the slowdown is deliberate and accepted
+        # (SPARK_GRAFT_BASELINE_ACCEPT=1); by default each query keeps
+        # the best time ever recorded on this host, which is the
+        # honest reference for "did code make this slower".
+        persisted = dict(out)
+        if baseline and os.environ.get(
+                "SPARK_GRAFT_BASELINE_ACCEPT", "0") != "1":
+            merged = {
+                n: min(t, baseline[n]) if n in baseline and baseline[n] > 0
+                else t
+                for n, t in timings.items()
+            }
+            persisted["queries"] = merged
+            persisted["value"] = round(sum(merged.values()), 3)
+            persisted["baseline_policy"] = "per-query min vs prior baseline"
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
-            json.dump(out, f, indent=1)
+            json.dump(persisted, f, indent=1)
     spark.stop()
 
 
