@@ -20,8 +20,11 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # --- shuffle sizing: 32 for local[32]; a real cluster would use
-    #     ~2-3x total cores (AQE coalesces the excess) ---
-    "spark.sql.shuffle.partitions": "32",
+    #     ~2-3x total cores (AQE coalesces the excess). Parameterized
+    #     so a cluster deploy sets it without a code change; the local
+    #     default keeps the driver's bench comparable across rounds ---
+    "spark.sql.shuffle.partitions":
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
     # --- determinism / oracle parity ---
     "spark.sql.session.timeZone": "UTC",
     # --- Arrow: the blocked-RDD boundary of the reference, done right ---
