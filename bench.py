@@ -260,9 +260,10 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     build_times: dict[str, float] = {}
+    first_run_times: dict[str, float] = {}
     for name in names:
         best = best_build = float("inf")
-        for _ in range(n_runs):
+        for i in range(n_runs):
             # exec time (the save) is the round-comparable contract
             # metric; build time is recorded BESIDE it because some
             # operators do real work during plan construction (eager
@@ -274,8 +275,18 @@ def main() -> None:
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
             best_build = min(best_build, t0 - tb)
+            if i == 0:
+                # cold exec (r12, ADVICE r11): run 1 pays any persist
+                # materialization that run 2 then reuses from cache, so
+                # for persist-heavy queries min() is a warm number.
+                # Recording run 1 BESIDE it makes persist-driven wins
+                # attributable without changing the contract metric
+                # (which has been best-of-N since r4 — changing it would
+                # break every round-over-round comparison).
+                first_run_times[name] = round(dt, 3)
         timings[name] = round(best, 3)
         build_times[name] = round(best_build, 3)
         _release_query_state(spark)
@@ -295,6 +306,9 @@ def main() -> None:
         "build_s": build_times,
         "build_total": round(sum(build_times.values()), 3),
         "timing_method": "exec; build recorded separately",
+        # run-1 exec per query (cold — includes any within-query persist
+        # materialization that the later best-of-N runs reuse)
+        "first_run_s": first_run_times,
         # fixed-work spin (sha256 over 128 MiB) before/after the run:
         # compare across rounds — an inflated value means host CPU
         # steal, so same-round query-time wobbles are noise, not
@@ -326,29 +340,66 @@ def main() -> None:
         # -1 (VERDICT r7 item 6). The round being benched is one past
         # the newest driver-recorded BENCH_r{N}.json on disk.
         out["written_at_round"] = _newest_driver_round() + 1
-        # Baseline RATCHET (r10 verdict item 1): this sandbox host has
-        # periodic external CPU steal, and a single spiked run used to
-        # ratchet 2-5x phantom values into the baseline (r10: +8.5%
-        # with zero code change; r11 observed q_stat_kruskal_wallis
-        # 0.69 s true -> 2.80 s in one run). A per-query baseline only
-        # moves UP if the slowdown is deliberate and accepted
-        # (SPARK_GRAFT_BASELINE_ACCEPT=1); by default each query keeps
-        # the best time ever recorded on this host, which is the
-        # honest reference for "did code make this slower".
+        # r12 (ADVICE r11 high + VERDICT r11 #3): "queries"/"value" in
+        # the durable record are ALWAYS this run's real measurements —
+        # the r11 min-ratchet wrote min(current, prior baseline) into
+        # them, which produced a headline total (64.5 s) no single run
+        # ever achieved and hid real 1-2x slowdowns from the record.
+        # The gate denominators now live in separate keys:
+        #   history      — last <=5 measured values per query (this host)
+        #   baseline     — per-query MEDIAN of history: the gate
+        #                  denominator. Robust to one steal-spiked run in
+        #                  either direction, unlike the min ratchet that
+        #                  sat ~24% below any achievable clean run and
+        #                  made a cold driver run flag 13 phantom
+        #                  regressions (VERDICT r11 What's-wrong #4).
+        #   baseline_min — the old ratchet, kept for reference only.
+        # SPARK_GRAFT_BASELINE_ACCEPT=1 resets history to this run
+        # (deliberate, explained slowdowns take effect immediately
+        # instead of after 3 runs outvote the median).
         persisted = dict(out)
-        if baseline and os.environ.get(
-                "SPARK_GRAFT_BASELINE_ACCEPT", "0") != "1":
-            merged = {
-                n: min(t, baseline[n]) if n in baseline and baseline[n] > 0
-                else t
-                for n, t in timings.items()
-            }
-            persisted["queries"] = merged
-            persisted["value"] = round(sum(merged.values()), 3)
-            persisted["baseline_policy"] = "per-query min vs prior baseline"
+        prior = _load_local(here)
+        accept = os.environ.get("SPARK_GRAFT_BASELINE_ACCEPT", "0") == "1"
+        hist: dict[str, list[float]] = dict(prior.get("history") or {})
+        for n, t in timings.items():
+            vals = [] if accept else list(hist.get(n) or [])
+            if not vals and not accept and (prior.get("queries") or {}).get(n):
+                # seed pre-r12 files from their queries entry
+                vals = [float(prior["queries"][n])]
+            vals.append(t)
+            hist[n] = vals[-5:]
+        persisted["history"] = hist
+        persisted["baseline"] = {n: _median(v) for n, v in hist.items()}
+        old_min = prior.get("baseline_min") or prior.get("queries") or {}
+        persisted["baseline_min"] = {
+            n: round(min([t] + ([float(old_min[n])]
+                                if old_min.get(n, 0) else [])), 3)
+            for n, t in timings.items()
+        }
+        persisted["baseline_policy"] = (
+            "queries/value = this run's real measurements; gate on "
+            "baseline = median of history (<=5 runs); baseline_min = "
+            "historical per-query min, reference only"
+        )
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
             json.dump(persisted, f, indent=1)
     spark.stop()
+
+
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+    return round(mid, 3)
+
+
+def _load_local(here: str) -> dict:
+    """Raw BENCH_LOCAL.json payload ({} if absent/corrupt)."""
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
 
 
 def _newest_driver_round() -> int:
@@ -393,12 +444,10 @@ def _load_baseline() -> dict | None:
         if queries:
             best = {**queries, "_round": n}
     if best is None:
-        try:
-            with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
-                local = json.load(f)
-            queries = local.get("queries") or {}
-        except (OSError, json.JSONDecodeError):
-            queries = {}
+        local = _load_local(here)
+        # r12: prefer the median-of-history gate denominator; fall back
+        # to the measured queries for pre-r12 files
+        queries = local.get("baseline") or local.get("queries") or {}
         if queries:
             # written_at_round stamps which round's bench produced the
             # file; -1 only for pre-r8 files that predate the stamp

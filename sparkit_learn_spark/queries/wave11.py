@@ -96,11 +96,15 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders (the default RANGE frame makes equal prices peers, so the
     through-value cumulative is order-independent).
 
-    Scale: the fact first pre-aggregates to (group, distinct-value)
-    grain — at 100 TB the per-group window runs over distinct prices
-    (bounded domain), not rows; the classic distributed weighted-
-    median shape (histogram then scan), with the histogram built by a
-    map-side-combining groupBy."""
+    Scale: SINGLE-EXCHANGE shape (r11 rewrite) — the cumulative window
+    runs directly over fact rows hash-partitioned by l_returnflag.
+    Tradeoff to know at 100 TB: l_returnflag has ~3 values, so the
+    whole fact funnels into ~3 partitions for the per-group sort; on a
+    genuinely huge fact, reintroduce the (group, distinct-value)
+    histogram pre-aggregate (it bounds window input by the value
+    domain) — at fixture scale that pre-aggregate barely collapsed
+    rows (594k of 600k) and its extra exchange measurably lost, which
+    is why the direct form ships (see the r11 note below)."""
     li = load_table(spark, sf_dir, "lineitem")
     # r11 (guide §2.3): the (rf, cent) pre-aggregate barely collapsed
     # at sf0.1 (594k of 600k rows — cent prices are nearly unique) yet

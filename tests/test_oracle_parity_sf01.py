@@ -15,13 +15,15 @@ from __future__ import annotations
 import pytest
 
 from sparkit_learn_spark.registry import all_oracles
-from sparkit_learn_spark.testing import check_query, duck_connect
+from sparkit_learn_spark.testing import check_query, duck_connect, parity_tier
 
 # The driver's correctness SF (directory name sf0.01 — do not "fix"
 # this to sf0.001; that would silently weaken the gate).
 DRIVER_SF = "/root/testdata/sf0.01"
 
-ORACLED = sorted(all_oracles())
+# Fast tier (default): md5 bucket-1 half here, bucket 0 at sf0.001 in
+# tests/test_oracle_parity.py — see testing.parity_tier (r12).
+ORACLED = parity_tier(sorted(all_oracles()), slot=1)
 
 # Registry-wide NON-DEGENERACY gate (VERDICT r6 next-steps #1): an
 # oracled query that returns 0 rows at the driver's SF passes its
