@@ -40,7 +40,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-def spread_scan(df: DataFrame) -> DataFrame:
+def spread_scan(df: DataFrame, cap: int | None = None) -> DataFrame:
     """Guarantee at least ``defaultParallelism`` partitions ahead of an
     expensive per-row map stage (tokenize/shingle/hash pipelines, blob
     synthesis, BLAS batches). A small parquet fixture is ONE row group,
@@ -51,9 +51,20 @@ def spread_scan(df: DataFrame) -> DataFrame:
     already has ≥ parallelism partitions and this is a structural
     no-op; the repartition only fires when the data is small enough
     for its shuffle to be nearly free (the same guard
-    operators/similarity._spread has always applied to embeddings)."""
+    operators/similarity._spread has always applied to embeddings).
+
+    ``cap`` (r12) bounds the spread below defaultParallelism for
+    stages where full fan-out LOSES: a many-consumer localCheckpoint
+    (each consumer pays per-task overhead x partitions — the r11
+    negative result on shingle_index at 32 partitions) or a tiny
+    Python stage (32 forked workers re-importing numpy for ~100 rows
+    each — the r11 q_llm_cosine_topk 32-core inversion). At cluster
+    scale the input has >= parallelism partitions and the cap never
+    engages."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
+    if cap is not None:
+        p = min(p, cap)
     return df.repartition(p) if df.rdd.getNumPartitions() < p else df
 
 

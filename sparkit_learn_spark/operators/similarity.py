@@ -133,7 +133,23 @@ def cosine_topk(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
                     rows.append((int(qid), int(cn[j]), float(sims[j]), rn))
             yield pd.DataFrame(rows, columns=["qid", "nid", "sim", "rn"])
 
-    q = _spread(emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vb")))
+    # r12 (VERDICT r11 #6): size the Python fan-out by ROWS, not by
+    # core count — the corpus size n is already known from the collect
+    # above. A blind spread to defaultParallelism put ~63 rows in each
+    # of 32 mapInPandas tasks at sf0.1; each cold task pays a Python
+    # worker fork + numpy/pandas import for one sub-ms matmul, which
+    # is exactly the 32-core-slower-than-8-core inversion the r11
+    # driver run measured (8/32 ratio 0.14). ~256 rows per task keeps
+    # the matmul batched. This path only ever sees <= max_broadcast_rows
+    # vectors (larger inputs failed over to the sharded path above), so
+    # the repartition is unconditional — no df.rdd partition probe
+    # (which forces a full plan analysis driver-side; VERDICT r11 #9).
+    n_parts = min(
+        emb.sparkSession.sparkContext.defaultParallelism,
+        max(2, -(-len(nids) // 256)),
+    )
+    q = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vb")) \
+        .repartition(n_parts)
     return q.mapInPandas(topk_batches, schema="qid long, nid long, sim double, rn long")
 
 

@@ -151,6 +151,8 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact counterpart of the MinHash estimate."""
     from ..operators.dedup import shingle_index, shingle_pair_common_counts
 
+    from ..catalog import spread_scan
+
     d = load_table(spark, sf_dir, "documents")
     # materialize the shingle index ONCE: three consumers (self-join
     # ×2 sides, sizes, hot slice) would each re-run tokenize+explode
@@ -158,7 +160,12 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster scale prefer persisting the index to storage (it is
     # corpus-sized; localCheckpoint pins executor storage and is lost
     # with an executor) — same plan, different materialization.
-    s = shingle_index(d, k=5).localCheckpoint(eager=True)
+    # r12 (VERDICT r11 #5): spread the docs scan to a CAPPED partition
+    # count before the checkpoint — tokenize+explode parallelizes and
+    # every consumer reads 8 real partitions instead of 1, while the
+    # r11 full-32 spread (reverted: 0.9 -> 2.2 s) overpaid per-task
+    # overhead x consumers on 32 tiny partitions.
+    s = shingle_index(spread_scan(d, cap=8), k=5).localCheckpoint(eager=True)
     inter = shingle_pair_common_counts(s)
     sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -573,13 +580,15 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sf1 wall: 197 s (r4) → ~23 s (gate + band + checkpointed index +
     single-eval + repartition)."""
+    from ..catalog import spread_scan
     from ..operators.dedup import shingle_candidate_pairs, shingle_index
 
     d = load_table(spark, sf_dir, "documents")
     # checkpoint the shingle index once: candidate generation reads it
     # three times (hot-df agg + both self-join sides) — same
-    # materialization tradeoff as q_llm_ngram_jaccard above
-    idx = shingle_index(d, k=5).localCheckpoint(eager=True)
+    # materialization tradeoff as q_llm_ngram_jaccard above (and the
+    # same r12 capped spread: parallel tokenize, 8-partition index)
+    idx = shingle_index(spread_scan(d, cap=8), k=5).localCheckpoint(eager=True)
     cands = shingle_candidate_pairs(idx)
     la = d.select(F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("ca"))
     lb = d.select(F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("cb"))

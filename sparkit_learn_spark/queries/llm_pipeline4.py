@@ -54,14 +54,26 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is BROADCAST — the train side joins without any shuffle of the
     corpus; the only aggregation keys on (train doc, shingle), which
     the contamination hits bound."""
+    from ..catalog import spread_scan
+
     d = load_table(spark, sf_dir, "documents")
+    # r12 (VERDICT r11 #5): tokenize+shingle ONCE — the bench and train
+    # branches below each re-ran the full-corpus explode on the
+    # single-partition fixture scan. Capped spread parallelizes the
+    # one tokenize pass and the checkpoint hands both consumers an
+    # 8-partition materialized index (full-32 spread loses — r11).
+    # eager=True keeps the one-time index build in the bench's build_s
+    # column, the same declared convention as q_llm_ngram_jaccard /
+    # q_llm_setjoin_prefix since r11.
     s = (
-        d.select("doc_id", "source", tokens("text").alias("toks"))
+        spread_scan(d, cap=8)
+        .select("doc_id", "source", tokens("text").alias("toks"))
         .filter(F.size("toks") >= 5)
         .select(
             "doc_id", "source",
             F.explode(F.array_distinct(shingles(F.col("toks"), 5))).alias("sh"),
         )
+        .localCheckpoint(eager=True)
     )
     bench = (
         s.filter(F.col("source") == BENCH_SOURCE)

@@ -66,10 +66,15 @@ def q_llm_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics family): same exactness, different pruning — the cap
     bounds bucket size, the prefix bounds which elements may seed a
     candidate at all."""
+    from ..catalog import spread_scan
     from ..operators.dedup import shingle_index
 
     d = load_table(spark, sf_dir, "documents")
-    s = shingle_index(d, k=5).localCheckpoint(eager=True)
+    # r12: capped spread ahead of the checkpoint — see the
+    # q_llm_ngram_jaccard note (parallel tokenize + 8-partition index
+    # for the ~5 downstream consumers; full-32 spread measured LOSING
+    # in r11).
+    s = shingle_index(spread_scan(d, cap=8), k=5).localCheckpoint(eager=True)
     df = s.groupBy("sh").agg(F.count("*").alias("df"))
     sized = s.join(df, "sh")
     w_rank = Window.partitionBy("doc_id").orderBy("df", "sh")
@@ -80,19 +85,40 @@ def q_llm_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_rank).alias("rnk"),
         F.count("*").over(w_n).alias("n"),
     )
-    # tau = 0.5: prefix length p = n - ceil(n/2) + 1 = n div 2 + 1
+    # tau = 0.5: prefix length p = n - ceil(n/2) + 1 = n div 2 + 1.
+    # rnk/n ride along for the POSITIONAL filter below (r12).
     prefix = ranked.filter(
         F.col("rnk") <= F.floor(F.col("n") / 2) + 1
-    ).select("doc_id", "sh")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # Positional-prefix upper bound (r12, VERDICT r11 #4 — the PPJoin
+    # positional filter): the rank order is GLOBAL ((df, sh) ties by
+    # sh), so for a shared shingle at in-document positions (i, j) any
+    # OTHER common shingle sits before it in both docs or after it in
+    # both, giving the exact bound
+    #     overlap <= min(i-1, j-1) + 1 + min(n_a - i, n_b - j).
+    # A pair can only reach Jaccard >= 0.5 (3*overlap >= n_a + n_b) if
+    # SOME shared prefix row's bound passes, and every shared row's
+    # bound >= the true overlap — so filtering join rows by the bound
+    # BEFORE the pair distinct is lossless and prunes candidates that
+    # the verification join would otherwise count shingle-by-shingle
+    # (the bound also subsumes the 2*min(n_a,n_b) >= max length
+    # filter, since bound <= min(n_a, n_b)). n_a/n_b ride through the
+    # distinct, so the old per-side size re-join is gone too.
+    ub = (
+        F.least(F.col("a.rnk"), F.col("b.rnk"))
+        + F.least(F.col("a.n") - F.col("a.rnk"), F.col("b.n") - F.col("b.rnk"))
+    )
     cands = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(3 * ub >= F.col("a.n") + F.col("b.n"))
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
         )
         .distinct()
     )
@@ -101,16 +127,12 @@ def q_llm_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         cands.join(sa, "doc_a")
         .join(sb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("n_common"))
     )
-    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     union = F.col("na") + F.col("nb") - F.col("n_common")
     return (
-        inter.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        inter
         .filter(3 * F.col("n_common") >= F.col("na") + F.col("nb"))
         .select(
             "doc_a",

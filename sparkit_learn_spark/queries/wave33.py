@@ -284,10 +284,13 @@ def q_llm_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: Σ min(bucket, df_cap)² candidate work + one aggregate at
     pair grain — never n²; sizes broadcast."""
+    from ..catalog import spread_scan
     from ..operators.dedup import shingle_index, shingle_pair_common_counts
 
     d = load_table(spark, sf_dir, "documents")
-    s = shingle_index(d, k=5).localCheckpoint(eager=True)
+    # r12 capped spread ahead of the many-consumer checkpoint — see
+    # q_llm_ngram_jaccard
+    s = shingle_index(spread_scan(d, cap=8), k=5).localCheckpoint(eager=True)
     inter = shingle_pair_common_counts(s)
     sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
