@@ -98,39 +98,59 @@ def cosine_topk(emb: DataFrame, *, k: int = 5, id_col: str = "vec_id",
     b_nids = spark.sparkContext.broadcast(nids)
     b_C = spark.sparkContext.broadcast(C)
 
+    # r12 (guide §4.2/§5): score in QUERY CHUNKS into one preallocated
+    # buffer instead of materializing the whole batch's n-wide score
+    # matrix per call. A fresh ~100 MB numpy result per task is served
+    # by mmap, and concurrent map/unmap churn across 32 workers
+    # serializes on kernel page handling (measured on this host: the
+    # identical GEMM 73 s fresh-alloc vs 9.7 s into a reused buffer,
+    # paired in-process; worker-side instrumentation put 98-110 s of a
+    # 117 s sf1 task in that one matmul). Chunking bounds the buffer to
+    # q_chunk x n and `out=` reuses it across chunks — the dot
+    # products, 6dp rounding, and per-row selection are unchanged, so
+    # output is bit-identical.
+    Q_CHUNK = 128
+
     def topk_batches(batches):
         cn, cm = b_nids.value, b_C.value
+        cmT = np.ascontiguousarray(cm.T)
         n = len(cn)
+        s_buf = np.empty((Q_CHUNK, n))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
-            S = np.round(Q @ cm.T, 6)
+            Qb = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            qids_b = pdf["qid"].to_numpy()
             rows = []
-            for qi, qid in enumerate(pdf["qid"].to_numpy()):
-                sims = S[qi].copy()
-                # self-exclusion: candidates are id-sorted, so the
-                # query's own slot is findable in O(log n)
-                self_pos = np.searchsorted(cn, qid)
-                if self_pos < n and cn[self_pos] == qid:
-                    sims[self_pos] = -np.inf
-                # top-k selection, branched on candidate count: the
-                # O(n) partition-select (everything >= the k-th value,
-                # then stable-sort the tiny boundary subset) wins at
-                # sf1 scale (72 s -> 26 s measured) but its extra
-                # passes LOSE to one stable argsort below a few
-                # thousand candidates (0.4 s at sf0.1, measured r4).
-                # Both branches produce identical rows: candidates are
-                # id-sorted and the sort is stable, so ties break by
-                # lower nid either way.
-                if n <= k or n <= ARGSORT_CUTOVER:
-                    idx = np.nonzero(np.isfinite(sims))[0]
-                else:
-                    kth = np.partition(sims, n - k)[n - k]
-                    idx = np.nonzero(sims >= kth)[0]
-                top = idx[np.argsort(-sims[idx], kind="stable")[:k]]
-                for rn, j in enumerate(top, start=1):
-                    rows.append((int(qid), int(cn[j]), float(sims[j]), rn))
+            for lo in range(0, len(Qb), Q_CHUNK):
+                Q = Qb[lo:lo + Q_CHUNK]
+                S = s_buf[:len(Q)]
+                np.matmul(Q, cmT, out=S)
+                np.round(S, 6, out=S)
+                for qi, qid in enumerate(qids_b[lo:lo + Q_CHUNK]):
+                    sims = S[qi].copy()
+                    # self-exclusion: candidates are id-sorted, so the
+                    # query's own slot is findable in O(log n)
+                    self_pos = np.searchsorted(cn, qid)
+                    if self_pos < n and cn[self_pos] == qid:
+                        sims[self_pos] = -np.inf
+                    # top-k selection, branched on candidate count: the
+                    # O(n) partition-select (everything >= the k-th
+                    # value, then stable-sort the tiny boundary subset)
+                    # wins at sf1 scale (72 s -> 26 s measured) but its
+                    # extra passes LOSE to one stable argsort below a
+                    # few thousand candidates (0.4 s at sf0.1, measured
+                    # r4). Both branches produce identical rows:
+                    # candidates are id-sorted and the sort is stable,
+                    # so ties break by lower nid either way.
+                    if n <= k or n <= ARGSORT_CUTOVER:
+                        idx = np.nonzero(np.isfinite(sims))[0]
+                    else:
+                        kth = np.partition(sims, n - k)[n - k]
+                        idx = np.nonzero(sims >= kth)[0]
+                    top = idx[np.argsort(-sims[idx], kind="stable")[:k]]
+                    for rn, j in enumerate(top, start=1):
+                        rows.append((int(qid), int(cn[j]), float(sims[j]), rn))
             yield pd.DataFrame(rows, columns=["qid", "nid", "sim", "rn"])
 
     # r12 (VERDICT r11 #6): size the Python fan-out by ROWS, not by
@@ -974,25 +994,38 @@ def cosine_retrieve(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
     b_nids = spark.sparkContext.broadcast(nids)
     b_C = spark.sparkContext.broadcast(C)
 
+    # r12: query-chunked scoring into one reused buffer — same
+    # allocation-churn fix as cosine_topk above (this host serializes
+    # concurrent large mmap/munmap; see the measured 73 s -> 9.7 s
+    # paired GEMM A/B there). Dots, rounding, selection unchanged.
+    Q_CHUNK = 128
+
     def topk_batches(batches):
         cn, cm = b_nids.value, b_C.value
+        cmT = np.ascontiguousarray(cm.T)
         n = len(cn)
+        s_buf = np.empty((Q_CHUNK, n))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
-            S = np.round(Q @ cm.T, 6)
+            Qb = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            qids_b = pdf["qid"].to_numpy()
             rows = []
-            for qi, qid in enumerate(pdf["qid"].to_numpy()):
-                sims = S[qi]
-                if n <= k or n <= ARGSORT_CUTOVER:
-                    idx = np.arange(n)
-                else:
-                    kth = np.partition(sims, n - k)[n - k]
-                    idx = np.nonzero(sims >= kth)[0]
-                top = idx[np.argsort(-sims[idx], kind="stable")[:k]]
-                for rn, j in enumerate(top, start=1):
-                    rows.append((int(qid), int(cn[j]), float(sims[j]), rn))
+            for lo in range(0, len(Qb), Q_CHUNK):
+                Q = Qb[lo:lo + Q_CHUNK]
+                S = s_buf[:len(Q)]
+                np.matmul(Q, cmT, out=S)
+                np.round(S, 6, out=S)
+                for qi, qid in enumerate(qids_b[lo:lo + Q_CHUNK]):
+                    sims = S[qi]
+                    if n <= k or n <= ARGSORT_CUTOVER:
+                        idx = np.arange(n)
+                    else:
+                        kth = np.partition(sims, n - k)[n - k]
+                        idx = np.nonzero(sims >= kth)[0]
+                    top = idx[np.argsort(-sims[idx], kind="stable")[:k]]
+                    for rn, j in enumerate(top, start=1):
+                        rows.append((int(qid), int(cn[j]), float(sims[j]), rn))
             yield pd.DataFrame(rows, columns=["qid", "nid", "sim", "rn"])
 
     q = _spread(queries.select(F.col(id_col).alias("qid"),

@@ -43,6 +43,29 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
+#: One BLAS thread per Python worker (r12, guide §4.3). Every task
+#: slot runs its own Python worker, so N concurrent tasks x an
+#: M-thread OpenBLAS = N*M threads on N cores — and OpenBLAS worker
+#: threads SPIN-WAIT between calls, so the idle threads burn cores the
+#: GEMMs need. Measured at sf1 (20k x 64 corpus, local[32]):
+#: cosine_topk exec 84.8 s -> 3.0 s from this env alone. Tasks are
+#: scheduled one per core, so 1 thread per worker is the right model
+#: on a cluster too (executors with >1 task slot hit the identical
+#: oversubscription); override with SPARK_GRAFT_BLAS_THREADS if a
+#: deployment dedicates >1 core per task.
+_BLAS_THREAD_VARS = ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                     "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS")
+
+
+def _pin_blas_threads() -> dict[str, str]:
+    n = os.environ.get("SPARK_GRAFT_BLAS_THREADS", "1")
+    pinned = {}
+    for var in _BLAS_THREAD_VARS:
+        # setdefault: an explicit operator-set value wins
+        os.environ.setdefault(var, n)
+        pinned[f"spark.executorEnv.{var}"] = os.environ[var]
+    return pinned
+
 #: Confs that are safe (and necessary) to (re)apply on an existing,
 #: externally-created session — e.g. the driver's own SparkSession.
 #: All of these are runtime-settable SQLConf entries.
@@ -63,6 +86,12 @@ def get_session(app_name: str = "sparkit-learn-spark",
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = SparkSession.builder.master(master).appName(app_name)
     confs = dict(DEFAULT_CONFS)
+    # local mode: the worker daemon inherits the driver JVM's env, and
+    # the JVM inherits THIS process's env — so the os.environ side of
+    # _pin_blas_threads is what actually reaches local workers (it must
+    # run before the first SparkContext launches the gateway). The
+    # executorEnv confs carry the same pin to real cluster executors.
+    confs.update(_pin_blas_threads())
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():
