@@ -15,9 +15,13 @@ SF_UNIT = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_session("sparkit-tests", master="local[8]",
+    # r12: core count tunable — on this host per-task overhead is
+    # kernel-bound (sys-time dominated), so fewer cores can mean LESS
+    # wall time for the fixture-scale suite; default measured below.
+    cores = os.environ.get("SPARK_GRAFT_TEST_CORES", "8")
+    s = get_session("sparkit-tests", master=f"local[{cores}]",
                     extra_confs={"spark.ui.enabled": "false",
-                                 "spark.sql.shuffle.partitions": "8"})
+                                 "spark.sql.shuffle.partitions": cores})
     yield s
     s.stop()
 
