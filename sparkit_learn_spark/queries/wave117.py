@@ -153,20 +153,31 @@ def q_ml_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONCE (groupBy okey) instead of twice, and no join row-expansion
     # materializes (guide §2.3-2.4).
     baskets = li.groupBy("l_orderkey").agg(F.collect_list("item").alias("items"))
+    # r12: the pair rides the explode+aggregate as ONE long (i·211+j —
+    # items are bounded 0..210 by the % 211 bucketing, so the encoding
+    # is bijective) instead of a 2-field struct: the ~6M-element lambda
+    # output allocates longs instead of InternalRow structs, and the
+    # hot groupBy hashes one 8-byte key instead of two columns. The
+    # (i,j) columns are decoded AFTER the aggregate on the ≤211²-row
+    # result — co-count multiset identical by construction.
     pairs = (
         baskets.select(
             F.explode(
                 F.expr(
                     "flatten(transform(items, x -> "
                     "transform(filter(items, y -> y != x), "
-                    "y -> named_struct('i', x, 'j', y))))"
+                    "y -> x * 211L + y)))"
                 )
             ).alias("p")
         )
-        .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
-        .groupBy("i", "j")
+        .groupBy("p")
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= 2)
+        .select(
+            F.expr("p div 211").alias("i"),
+            F.expr("p % 211").alias("j"),
+            "co",
+        )
     )
     rn = F.row_number().over(Window.partitionBy("i").orderBy(F.desc("co"), "j"))
     recs = pairs.withColumn("rn", rn).filter(F.col("rn") <= 5)

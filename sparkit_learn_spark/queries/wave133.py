@@ -91,7 +91,7 @@ def _doc_bigram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("b", _bucket(F.col("bigram"))).drop("bigram")
 
 
-def _bucket_counts(bg: DataFrame):
+def _bucket_counts(bg: DataFrame, cnt: str | None = None):
     """(tgt, raw, tot) bucket-grain counts over a bigram-bucket
     stream — the distributions behind both the per-doc weights and
     the KL diagnostic (one definition, so the feature space cannot
@@ -102,10 +102,15 @@ def _bucket_counts(bg: DataFrame):
     filter + raw count + totals each re-ran the tokenize/explode/hash
     pipeline); tgt/raw/tot all derive from the persisted ≤B-row merged
     counts, so the corpus is scanned once here (guide §1.2: remove
-    whole passes first)."""
+    whole passes first).
+
+    r12: ``cnt`` names an occurrence-count column when ``bg`` is
+    already (doc, bucket)-grain (lang is a doc attribute, constant per
+    group, so the weighted sums equal the per-occurrence counts)."""
+    occ = F.col(cnt) if cnt else F.lit(1)
     counts = bg.groupBy("b").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
-        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", occ).otherwise(0)).alias("tc"),
+        F.sum(occ).alias("rc"),
     ).persist()
     # identical row set to the filtered groupBy: buckets with ≥1
     # English bigram
@@ -125,8 +130,25 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-bigram stream, so the per-doc sum is one map-side-combinable
     aggregation. Nothing materializes above doc grain.
     """
+    # r12: pre-aggregate the bigram stream to (doc, bucket) grain ONCE
+    # and derive BOTH the bucket counts and the per-doc weight sum from
+    # it — the tokenize+shingle+md5 pipeline previously ran twice (once
+    # under the bucket aggregate, once under the weight join; no
+    # exchange boundary is shared, so AQE stage reuse cannot fold
+    # them). Exact: lang/source/n_toks are doc attributes (constant per
+    # group) and Σ_occurrences w = Σ_(doc,b) c·w.
     bg = _doc_bigram_buckets(spark, sf_dir)
-    tgt, raw, tot = _bucket_counts(bg)
+    # lang/source/n_toks are doc attributes (functionally dependent on
+    # doc_id) so they ride as GROUP KEYS, not any_value() aggregates:
+    # a string-valued aggregate buffer forces SortAggregate (UnsafeRow
+    # hash-agg buffers must be fixed-size), while string GROUP keys
+    # hash fine — the stream-sized materialization stays HashAggregate.
+    db = (
+        bg.groupBy("doc_id", "lang", "source", "n_toks", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    tgt, raw, tot = _bucket_counts(db, cnt="c")
     w = (
         raw.join(tgt, "b", "left")
         .crossJoin(F.broadcast(tot))
@@ -143,14 +165,14 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        bg.join(F.broadcast(w), "b")
+        db.join(F.broadcast(w), "b")
         .groupBy("doc_id")
         .agg(
             F.any_value(F.col("lang")).alias("lang"),
             F.any_value(F.col("source")).alias("source"),
             F.any_value(F.col("n_toks")).alias("n_toks"),
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("w").alias("sumw"),
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("w") * F.col("c")).alias("sumw"),
         )
     )
 

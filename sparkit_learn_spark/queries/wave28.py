@@ -92,22 +92,30 @@ def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     wqt = wq.rangeBetween(0, 0)
     wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     wpt = wp.rangeBetween(0, 0)
+    # r12: the doubled ranks stay LONG through the windows (2·rank ≤ 2n
+    # fits a long at any conceivable scale — only the PRODUCTS and sums
+    # overflow); the decimal(38,0) widening happens per-term inside the
+    # aggregate, so the two sorts and the window arithmetic run on
+    # 8-byte integer codegen paths instead of 16-byte decimals.
+    # Exactness unchanged: long→decimal cast is lossless and the sums
+    # still accumulate in 128-bit decimal space.
     r = li.select(
         F.col("l_returnflag").alias("grp"),
-        (2 * F.rank().over(wq) + F.count("*").over(wqt) - 1)
-        .cast("decimal(19,0)")
+        (2 * F.rank().over(wq).cast("long") + F.count("*").over(wqt) - 1)
         .alias("rx2"),
-        (2 * F.rank().over(wp) + F.count("*").over(wpt) - 1)
-        .cast("decimal(19,0)")
+        (2 * F.rank().over(wp).cast("long") + F.count("*").over(wpt) - 1)
         .alias("ry2"),
     )
+    dec = "decimal(38,0)"
+    rx2d = F.col("rx2").cast(dec)
+    ry2d = F.col("ry2").cast(dec)
     m = r.groupBy("grp").agg(
         F.count("*").alias("n"),
-        F.sum("rx2").cast("double").alias("sx"),
-        F.sum("ry2").cast("double").alias("sy"),
-        F.sum(F.col("rx2") * F.col("rx2")).cast("double").alias("sxx"),
-        F.sum(F.col("ry2") * F.col("ry2")).cast("double").alias("syy"),
-        F.sum(F.col("rx2") * F.col("ry2")).cast("double").alias("sxy"),
+        F.sum(rx2d).cast("double").alias("sx"),
+        F.sum(ry2d).cast("double").alias("sy"),
+        F.sum(rx2d * F.col("rx2")).cast("double").alias("sxx"),
+        F.sum(ry2d * F.col("ry2")).cast("double").alias("syy"),
+        F.sum(rx2d * F.col("ry2")).cast("double").alias("sxy"),
     )
     n = F.col("n").cast("double")
     return m.select(
