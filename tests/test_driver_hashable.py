@@ -2,13 +2,20 @@
 
 The driver's canonicalizer pandas-sorts raw result columns before
 hashing; array/map/struct cells crash it (``TypeError: unhashable
-type: 'numpy.ndarray'`` — the r5 q_agg_collect_sorted ERR). This test
-walks the (lazy) schema of every oracled query and fails on any
-complex-typed column, so that class of driver-only failure can never
-ship again without a local red. Rows-only queries (no oracle) are
-exempt — the driver only row-counts them.
+type: 'numpy.ndarray'`` — the r5 q_agg_collect_sorted ERR), and
+DecimalType columns hash differently from DOUBLE on trailing zeros
+(the r7 q_sql_group_by_all driver-red: Spark-4 ANSI promotes
+``BIGINT / 1000.0`` to DECIMAL(28,6) while DuckDB returns DOUBLE).
+This test walks the schema of every registered query and fails on any
+DecimalType column, plus — for ORACLED queries only (the driver only
+row-counts the rest) — any complex-typed column.
 
-Schema construction is lazy (no job runs), so this is cheap.
+One test per query, both checks on one constructed DataFrame (r12):
+the old two-test split built every oracled query's plan TWICE, and
+"schema construction is lazy" is false for eager-build pipelines
+(bounded collects, eager localCheckpoints, ann_ivf's k-means fit) —
+the driver's pytest window pays ~2x the registry's total build time
+for zero extra coverage.
 """
 
 from __future__ import annotations
@@ -18,38 +25,36 @@ from pyspark.sql import types as T
 
 from sparkit_learn_spark.registry import all_oracles, all_queries
 
-ORACLED = sorted(all_oracles())
+ORACLED = frozenset(all_oracles())
 ALL_REGISTERED = sorted(all_queries())
 
 COMPLEX = (T.ArrayType, T.MapType, T.StructType)
 
 
-@pytest.mark.parametrize("name", ORACLED)
-def test_primitive_only_schema(spark, sf_dir, name):
-    df = all_queries()[name](spark, sf_dir)
-    bad = [f"{f.name}:{f.dataType.simpleString()}"
-           for f in df.schema.fields if isinstance(f.dataType, COMPLEX)]
-    assert not bad, (
-        f"{name} returns non-driver-hashable column(s) {bad}; "
-        "serialize (array_join / to_json) before returning"
-    )
+@pytest.fixture(autouse=True)
+def _release(spark):
+    # every test builds its own query; nothing is shared across tests
+    # except the session, so releasing per test is safe (conftest note)
+    yield
+    from conftest import release_query_state
+    release_query_state(spark)
 
 
 @pytest.mark.parametrize("name", ALL_REGISTERED)
-def test_no_decimal_schema(spark, sf_dir, name):
-    """DecimalType result columns are forbidden in oracled queries —
-    the r7 q_sql_group_by_all driver-red: Spark-4 ANSI promotes
-    ``BIGINT / 1000.0`` to DECIMAL(28,6) while DuckDB returns DOUBLE,
-    and the driver's hash distinguishes ``Decimal('x.181000')`` from
-    float ``x.181`` exactly when trailing zeros land at 6dp. Values
-    that pass today can flip red on any data/SF change. CAST to
-    DOUBLE in BOTH engines instead."""
+def test_driver_hashable_schema(spark, sf_dir, name):
     df = all_queries()[name](spark, sf_dir)
-    bad = [f"{f.name}:{f.dataType.simpleString()}"
-           for f in df.schema.fields
-           if isinstance(f.dataType, T.DecimalType)]
-    assert not bad, (
-        f"{name} returns DECIMAL column(s) {bad} — data-dependent "
+    fields = df.schema.fields
+    bad_dec = [f"{f.name}:{f.dataType.simpleString()}"
+               for f in fields if isinstance(f.dataType, T.DecimalType)]
+    assert not bad_dec, (
+        f"{name} returns DECIMAL column(s) {bad_dec} — data-dependent "
         "driver hash hazard (ANSI int/decimal-literal promotion); "
         "CAST(... AS DOUBLE) in both the Spark SQL and the oracle"
     )
+    if name in ORACLED:
+        bad = [f"{f.name}:{f.dataType.simpleString()}"
+               for f in fields if isinstance(f.dataType, COMPLEX)]
+        assert not bad, (
+            f"{name} returns non-driver-hashable column(s) {bad}; "
+            "serialize (array_join / to_json) before returning"
+        )

@@ -16,6 +16,16 @@ ORACLED = parity_tier(sorted(all_oracles()), slot=0)
 ROWS_ONLY = sorted(set(all_queries()) - set(all_oracles()))
 
 
+@pytest.fixture(autouse=True)
+def _release(spark):
+    # every test builds + materializes its own query; release so
+    # CacheManager entries and cached blocks don't accumulate across
+    # the sweep (conftest.release_query_state note)
+    yield
+    from conftest import release_query_state
+    release_query_state(spark)
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_match(spark, duck, sf_dir, name):
     check_query(spark, duck, name, sf_dir)

@@ -35,6 +35,14 @@ ORACLED = parity_tier(sorted(all_oracles()), slot=1)
 DEGENERACY_EXEMPT: dict[str, str] = {}
 
 
+@pytest.fixture(autouse=True)
+def _release(spark):
+    # per-test release, same rationale as test_oracle_parity.py
+    yield
+    from conftest import release_query_state
+    release_query_state(spark)
+
+
 @pytest.fixture(scope="module")
 def duck_sf01():
     con = duck_connect(DRIVER_SF)
